@@ -1,0 +1,153 @@
+"""Unified configuration for the NanoSNP-TPU pipeline.
+
+The reference splits hyperparameters over four mechanisms (YAML + argparse +
+bash getopt + hand-rolled C++ flags — see SURVEY.md §5.6). Here everything
+lives in typed dataclasses, loadable from one YAML file and overridable from
+the CLI.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import yaml
+
+from . import constants as C
+
+
+@dataclass
+class PileupFeatureConfig:
+    flanking_bases: int = C.FLANKING_BASES
+    min_af: float = C.MIN_AF
+    snp_min_af: float = C.SNP_MIN_AF
+    indel_min_af: float = C.INDEL_MIN_AF
+    min_depth: int = C.MIN_DEPTH
+    max_indel_size: int = C.MAX_INDEL_SIZE
+    mpileup_max_depth: int = C.MPILEUP_MAX_DEPTH
+    mpileup_min_mq: int = C.MPILEUP_MIN_MQ
+    mpileup_excl_flags: int = C.MPILEUP_EXCL_FLAGS
+
+    @property
+    def window(self) -> int:
+        return 2 * self.flanking_bases + 1
+
+
+@dataclass
+class PileupModelConfig:
+    """Matches reference PileupModel/config/ont_pileup.yaml model block."""
+    feature_dim: int = 18
+    hidden_size: int = 64
+    output_size: int = 128
+    n_layers: int = 2
+    inner_size: int = 256
+    gt_num_class: int = C.NUM_GT21
+    zy_num_class: int = C.NUM_ZY
+    indel1_num_class: int = C.NUM_INDEL_CLASSES
+    indel2_num_class: int = C.NUM_INDEL_CLASSES
+    dropout: float = 0.3
+    seq_len: int = C.PILEUP_WINDOW
+
+
+@dataclass
+class HaplotypeModelConfig:
+    """Matches reference HaplotypeModel/config/ont_haplotype.yaml model block."""
+    pileup_dim: int = 105
+    haplotype_dim: int = 105
+    pileup_length: int = C.PILEUP_WINDOW
+    haplotype_length: int = C.HAPLOTYPE_WINDOW
+    hidden_size: int = 256
+    lstm_layers: int = 3
+    gt_num_class: int = C.NUM_GT10
+    zy_num_class: int = C.NUM_ZY
+    dropout: float = 0.1
+
+
+@dataclass
+class HaplotypeFeatureConfig:
+    low_quality_threshold: float = C.HAP_LOW_QUAL
+    hete_support_quality: float = C.HAP_SUPPORT_QUAL
+    adjacent_size: int = C.ADJACENT_SIZE
+    pileup_flanking_size: int = C.FLANKING_BASES
+    max_coverage: int = C.MAX_COVERAGE
+    max_pileup_depth: Optional[int] = None      # prod: 3 * coverage
+    max_haplotype_depth: Optional[int] = None   # prod: 3 * coverage
+    phase_het_quality: float = C.PHASE_HET_QUAL
+
+
+@dataclass
+class MergeConfig:
+    quality: float = C.MERGE_QUAL
+    hap_quality: float = C.MERGE_HAP_QUAL
+    pileup_rescue_quality: float = C.MERGE_PILEUP_RESCUE_QUAL
+
+
+@dataclass
+class OptimConfig:
+    """Matches the reference optim blocks (LookaheadAdam)."""
+    type: str = "lookahead_adam"
+    lr: float = 1e-4
+    decay_ratio: float = 0.98
+    begin_to_adjust_lr: int = 10
+    weight_decay: float = 0.0
+    max_grad_norm: float = 20.0
+    label_smoothing: float = 0.1
+    lookahead_sync_period: int = 6
+    lookahead_slow_step: float = 0.5
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 2000
+    epochs: int = 200
+    seed: int = 2022
+    optim: OptimConfig = field(default_factory=OptimConfig)
+
+
+@dataclass
+class InferenceConfig:
+    batch_size: int = 8192          # device batch per step (static shape)
+    use_bf16: bool = True           # bf16 matmuls on TPU; logits kept in f32
+    # Replicate the reference decoder's gt_output[ti] indexing quirk
+    # (PileupModel/predict.py:107,119,151,163) for bit-identical VCFs.
+    bug_compat: bool = True
+    data_axis: str = "data"
+
+
+@dataclass
+class PipelineConfig:
+    pileup_feature: PileupFeatureConfig = field(default_factory=PileupFeatureConfig)
+    pileup_model: PileupModelConfig = field(default_factory=PileupModelConfig)
+    haplotype_feature: HaplotypeFeatureConfig = field(default_factory=HaplotypeFeatureConfig)
+    haplotype_model: HaplotypeModelConfig = field(default_factory=HaplotypeModelConfig)
+    merge: MergeConfig = field(default_factory=MergeConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+    coverage: int = 30
+    threads: int = 0                # 0 = os.cpu_count()
+
+
+def _update(dc, data: dict):
+    for k, v in data.items():
+        if not hasattr(dc, k):
+            raise KeyError(f"unknown config key: {type(dc).__name__}.{k}")
+        cur = getattr(dc, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _update(cur, v)
+        else:
+            setattr(dc, k, v)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> PipelineConfig:
+    cfg = PipelineConfig()
+    if path:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        _update(cfg, data)
+    if overrides:
+        _update(cfg, overrides)
+    return cfg
+
+
+def to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,188 @@
+"""Feature-shard storage.
+
+Native format is .npz (fast, dependency-free). For interop with the
+reference tooling we can also emit/read plain-HDF5 files via h5py using the
+reference's dataset names and string layouts:
+  - pileup predict bins (make_bin_predict_data.py:79-109): position_matrix
+    [N,33,18] int32, position [N,1] S83 "chr:pos:refseq33", alt_info [N,1]
+    S5000;
+  - haplotype bins (write_to_bins.py:44-63): {pileup,haplotype}_{sequences,
+    hap,baseq,mapq} [N,D,L] int32, candidate_positions [N,1] S,
+    haplotype_positions [N,11] S.
+(The reference writes these with PyTables+blosc; plain HDF5 datasets of the
+same names/types are readable by both stacks.)
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# pileup predict shards
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PileupShard:
+    contig: str
+    positions: np.ndarray        # [N] int64
+    matrix: np.ndarray           # [N, 33, 18] int32
+    ref_seqs: np.ndarray         # [N] S33 bytes (uppercased windows)
+    alt_info: np.ndarray         # [N] bytes
+
+    def __len__(self):
+        return len(self.positions)
+
+
+def save_pileup_shard(path: str, shard: PileupShard) -> None:
+    np.savez_compressed(
+        path,
+        contig=np.array(shard.contig),
+        positions=shard.positions,
+        matrix=shard.matrix,
+        ref_seqs=np.asarray(shard.ref_seqs, dtype="S"),
+        alt_info=np.asarray(shard.alt_info, dtype="S"),
+    )
+
+
+def load_pileup_shard(path: str) -> PileupShard:
+    z = np.load(path)
+    return PileupShard(
+        contig=str(z["contig"]),
+        positions=z["positions"],
+        matrix=z["matrix"],
+        ref_seqs=z["ref_seqs"],
+        alt_info=z["alt_info"],
+    )
+
+
+def save_pileup_shard_h5(path: str, shard: PileupShard) -> None:
+    """Reference-layout HDF5 (readable by the reference PredictDataset)."""
+    import h5py
+
+    n = len(shard)
+    position = np.array(
+        [f"{shard.contig}:{int(p)}:{r.decode()}".encode()
+         for p, r in zip(shard.positions, np.asarray(shard.ref_seqs, dtype="S"))],
+        dtype="S83").reshape(n, 1)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("position_matrix", data=shard.matrix.astype(np.int32))
+        f.create_dataset("position", data=position)
+        f.create_dataset("alt_info",
+                         data=np.asarray(shard.alt_info, dtype="S5000").reshape(n, 1))
+
+
+def load_pileup_shard_h5(path: str) -> PileupShard:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        matrix = np.asarray(f["position_matrix"])
+        position = np.asarray(f["position"]).reshape(-1)
+        alt_info = np.asarray(f["alt_info"]).reshape(-1)
+    contigs, positions, refs = [], [], []
+    for item in position:
+        ctg, pos, seq = item.decode().strip().split(":")
+        contigs.append(ctg)
+        positions.append(int(pos))
+        refs.append(seq.encode())
+    return PileupShard(
+        contig=contigs[0] if contigs else "",
+        positions=np.asarray(positions, dtype=np.int64),
+        matrix=matrix,
+        ref_seqs=np.asarray(refs, dtype="S"),
+        alt_info=alt_info,
+    )
+
+
+# ---------------------------------------------------------------------------
+# haplotype shards
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HaplotypeShard:
+    contig: str
+    candidate_positions: np.ndarray    # [N] int64
+    group_positions: np.ndarray        # [N, 11] int64 (het group positions)
+    pileup: Dict[str, np.ndarray]      # sequences/hap/baseq/mapq [N, Dp, 33] int32
+    haplotype: Dict[str, np.ndarray]   # sequences/hap/baseq/mapq [N, Dh, 11] int32
+
+    def __len__(self):
+        return len(self.candidate_positions)
+
+
+_KEYS = ("sequences", "hap", "baseq", "mapq")
+
+
+def save_haplotype_shard(path: str, shard: HaplotypeShard) -> None:
+    arrays = {
+        "contig": np.array(shard.contig),
+        "candidate_positions": shard.candidate_positions,
+        "group_positions": shard.group_positions,
+    }
+    for k in _KEYS:
+        arrays[f"pileup_{k}"] = shard.pileup[k]
+        arrays[f"haplotype_{k}"] = shard.haplotype[k]
+    np.savez_compressed(path, **arrays)
+
+
+def load_haplotype_shard(path: str) -> HaplotypeShard:
+    z = np.load(path)
+    return HaplotypeShard(
+        contig=str(z["contig"]),
+        candidate_positions=z["candidate_positions"],
+        group_positions=z["group_positions"],
+        pileup={k: z[f"pileup_{k}"] for k in _KEYS},
+        haplotype={k: z[f"haplotype_{k}"] for k in _KEYS},
+    )
+
+
+def save_haplotype_shard_h5(path: str, shard: HaplotypeShard) -> None:
+    """Reference-layout HDF5 (write_to_bins.py dataset names)."""
+    import h5py
+
+    n = len(shard)
+    adj = shard.group_positions.shape[1]
+    cand = np.array([f"{shard.contig}:{int(p)}".encode()
+                     for p in shard.candidate_positions],
+                    dtype=f"S{30 * (adj - 1)}").reshape(n, 1)
+    hpos = np.array([[f"{shard.contig}:{int(p)}".encode() for p in row]
+                     for row in shard.group_positions],
+                    dtype=f"S{30 * (adj - 1)}")
+    with h5py.File(path, "w") as f:
+        for k in _KEYS:
+            f.create_dataset(f"pileup_{k}", data=shard.pileup[k].astype(np.int32))
+            f.create_dataset(f"haplotype_{k}", data=shard.haplotype[k].astype(np.int32))
+        f.create_dataset("candidate_positions", data=cand)
+        f.create_dataset("haplotype_positions", data=hpos)
+
+
+def load_haplotype_shard_h5(path: str) -> HaplotypeShard:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        data = {k: np.asarray(f[k]) for k in f.keys()}
+    cand_raw = data["candidate_positions"].reshape(-1)
+    contig = cand_raw[0].decode().split(":")[0] if len(cand_raw) else ""
+    cand = np.array([int(v.decode().split(":")[1]) for v in cand_raw],
+                    dtype=np.int64)
+    hpos = np.array(
+        [[int(v.decode().split(":")[1]) for v in row]
+         for row in data["haplotype_positions"]], dtype=np.int64)
+    return HaplotypeShard(
+        contig=contig,
+        candidate_positions=cand,
+        group_positions=hpos,
+        pileup={k: data[f"pileup_{k}"] for k in _KEYS},
+        haplotype={k: data[f"haplotype_{k}"] for k in _KEYS},
+    )
+
+
+def list_shards(directory: str, suffix: str = ".npz") -> List[str]:
+    return sorted(
+        os.path.join(directory, f) for f in os.listdir(directory)
+        if f.endswith(suffix))

@@ -1,0 +1,131 @@
+"""ctypes bindings for the native host kernels (io/native/*.cpp).
+
+The shared library is compiled on demand with g++ -O3 -fopenmp and cached
+next to the sources (rebuilt when the source is newer). Falls back cleanly:
+callers can catch NativeUnavailable and use the NumPy oracle path
+(features/pileup.py).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+_SRC = os.path.join(_NATIVE_DIR, "pileup_core.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libnanosnp.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-fopenmp", "-shared",
+        "-fPIC", "-o", _LIB, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        msg = getattr(e, "stderr", str(e))
+        raise NativeUnavailable(f"native build failed: {msg}") from e
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        lib.nsp_count_rows.restype = ctypes.c_int64
+        lib.nsp_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.nsp_parse_mpileup.restype = ctypes.c_int64
+        lib.nsp_parse_mpileup.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,          # buf
+            ctypes.c_char_p, ctypes.c_int64,          # ref
+            ctypes.c_double, ctypes.c_double,         # afs
+            ctypes.c_int, ctypes.c_int,               # min_cov, max_indel
+            ctypes.c_void_p, ctypes.c_void_p,         # bed masks
+            ctypes.c_int,                             # threads
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # pos/counts/depths
+            ctypes.c_void_p, ctypes.c_void_p,         # cand/afs
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,   # alt buf/cap/off
+        ]
+        _lib = lib
+        return lib
+
+
+def _ptr(a: Optional[np.ndarray]):
+    return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+
+def parse_mpileup_native(
+    text: bytes,
+    chrom: str,
+    chr_seq: np.ndarray,
+    snp_min_af: float = 0.12,
+    indel_min_af: float = 0.12,
+    min_coverage: int = 6,
+    max_indel: int = 60,
+    bed_mask: Optional[np.ndarray] = None,
+    confident_mask: Optional[np.ndarray] = None,
+    n_threads: int = 0,
+):
+    """Parse one chromosome's mpileup text with the native kernel.
+
+    Returns a features.pileup.ChromPileup (import deferred to avoid a cycle).
+    """
+    from ..features.pileup import ChromPileup
+
+    lib = get_lib()
+    n = lib.nsp_count_rows(text, len(text))
+    positions = np.zeros(n, dtype=np.int64)
+    counts = np.zeros((n, 18), dtype=np.int32)
+    depths = np.zeros(n, dtype=np.int32)
+    cand = np.zeros(n, dtype=np.uint8)
+    afs = np.zeros(n, dtype=np.float64)
+    alt_off = np.zeros(2 * n, dtype=np.int64)
+    ref_bytes = chr_seq.tobytes()
+    bed8 = bed_mask.astype(np.uint8) if bed_mask is not None else None
+    conf8 = confident_mask.astype(np.uint8) if confident_mask is not None else None
+
+    alt_cap = max(1 << 16, 64 * n)
+    for _ in range(3):
+        alt_buf = np.zeros(alt_cap, dtype=np.uint8)
+        ret = lib.nsp_parse_mpileup(
+            text, len(text), ref_bytes, len(ref_bytes),
+            snp_min_af, indel_min_af, min_coverage, max_indel,
+            _ptr(bed8), _ptr(conf8), n_threads,
+            _ptr(positions), _ptr(counts), _ptr(depths), _ptr(cand),
+            _ptr(afs), _ptr(alt_buf), alt_cap, _ptr(alt_off))
+        if ret >= 0:
+            break
+        alt_cap = -ret
+    else:
+        raise RuntimeError("alt_info buffer negotiation failed")
+
+    m = int(ret)
+    alt_bytes = alt_buf.tobytes()
+    alt_info: List[str] = [
+        alt_bytes[alt_off[2 * i]: alt_off[2 * i + 1]].decode()
+        for i in range(m)
+    ]
+    return ChromPileup(
+        chrom=chrom,
+        positions=positions[:m].copy(),
+        counts=counts[:m].copy(),
+        depths=depths[:m].copy(),
+        is_candidate=cand[:m].astype(bool),
+        alt_info=alt_info,
+        afs=afs[:m].copy(),
+    )

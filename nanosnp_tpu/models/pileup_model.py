@@ -1,0 +1,87 @@
+"""Pileup-stage caller: 2-layer BiLSTM(h=64) -> proj(128) -> dense(256) -> 4 heads.
+
+Architecture parity with the reference LSTMNetwork (PileupModel/model.py:85-119,
+config/ont_pileup.yaml): input [N, 33, 18]; heads gt(21), zy(3), indel1(33),
+indel2(33). Inference-path optimization: the reference applies output_proj and
+the dense layer to every timestep and then slices the center (model.py:37,68);
+both are pointwise-linear over time, so we slice the center first and apply
+them once — bitwise-equal math, 33x less head FLOPs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PileupModelConfig
+from .bilstm import bilstm_encoder, init_bilstm_params, init_linear_params, linear
+
+Params = Dict[str, Any]
+
+
+def init_pileup_params(rng: jax.Array, cfg: PileupModelConfig) -> Params:
+    rngs = jax.random.split(rng, 7)
+    return {
+        "encoder": init_bilstm_params(rngs[0], cfg.feature_dim, cfg.hidden_size, cfg.n_layers),
+        "proj": init_linear_params(rngs[1], 2 * cfg.hidden_size, cfg.output_size),
+        "dense": init_linear_params(rngs[2], cfg.output_size, cfg.inner_size),
+        "gt": init_linear_params(rngs[3], cfg.inner_size, cfg.gt_num_class),
+        "zy": init_linear_params(rngs[4], cfg.inner_size, cfg.zy_num_class),
+        "id1": init_linear_params(rngs[5], cfg.inner_size, cfg.indel1_num_class),
+        "id2": init_linear_params(rngs[6], cfg.inner_size, cfg.indel2_num_class),
+    }
+
+
+def pileup_forward(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: PileupModelConfig,
+    *,
+    dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    all_heads: bool = True,
+):
+    """x: [N, 33, 18] float. Returns (gt, zy, id1, id2) logits (id* None if
+    all_heads=False)."""
+    center = cfg.seq_len // 2
+    enc = bilstm_encoder(
+        params["encoder"], x,
+        dropout=cfg.dropout, dropout_rng=dropout_rng, compute_dtype=compute_dtype,
+    )                                                    # [N, L, 2H]
+    ctr = enc[:, center, :]                              # [N, 2H]
+    feat = linear(params["proj"], ctr, compute_dtype)    # [N, 128]
+    feat = jnp.tanh(linear(params["dense"], feat, compute_dtype))  # [N, 256]
+    gt = linear(params["gt"], feat, compute_dtype)
+    zy = linear(params["zy"], feat, compute_dtype)
+    if all_heads:
+        id1 = linear(params["id1"], feat, compute_dtype)
+        id2 = linear(params["id2"], feat, compute_dtype)
+        return gt, zy, id1, id2
+    return gt, zy, None, None
+
+
+def pileup_predict(params: Params, x: jnp.ndarray, cfg: PileupModelConfig,
+                   compute_dtype=jnp.float32):
+    """Inference: softmaxed gt/zy probabilities, matching reference
+    model.predict (PileupModel/model.py:114-119)."""
+    gt, zy, _, _ = pileup_forward(params, x, cfg, compute_dtype=compute_dtype,
+                                  all_heads=False)
+    return jax.nn.softmax(gt, axis=-1), jax.nn.softmax(zy, axis=-1)
+
+
+@dataclass
+class PileupModel:
+    """Convenience bundle of params + config with jitted predict."""
+    params: Params
+    cfg: PileupModelConfig
+
+    def predict_fn(self, compute_dtype=jnp.float32):
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(params, x):
+            return pileup_predict(params, x, cfg, compute_dtype=compute_dtype)
+
+        return fn

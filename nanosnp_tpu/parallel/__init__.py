@@ -1,0 +1,2 @@
+from .mesh import make_mesh, shard_batch
+from .inference import BatchedPredictor

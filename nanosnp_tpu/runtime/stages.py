@@ -1,0 +1,324 @@
+"""Concrete pipeline stages (the reference's s1..s6 re-architected).
+
+Data flow (mirrors SURVEY.md §1 stage table):
+  s1 pileup features     mpileup(+ref) -> pileup shards (.npz per contig)
+  s2 pileup predict      shards -> pileup.vcf            [TPU]
+  s3 phasing             pileup.vcf + BAM -> haplotagged BAMs (external
+                         whatshap/samtools, subprocess-wrapped)
+  s4 haplotype features  pileup.vcf + tagged BAMs -> haplotype shards
+  s5 haplotype predict   shards -> haplotype.csv         [TPU]
+  s6 merge               pileup.vcf + haplotype.csv -> merge.vcf
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from .. import constants as C
+from ..config import PipelineConfig
+from ..decode.merge import merge_calls
+from ..decode.pileup_vcf import decode_pileup_calls, write_vcf_header
+from ..features.haplotype import (
+    build_groups,
+    chunk_groups,
+    collect_sites,
+    haplotype_features,
+    ref_position_codes,
+    ref_window_codes,
+)
+from ..features.pileup import assemble_windows, predict_inputs
+from ..io import bins
+from ..io.fasta import FastaReference
+
+
+def split_mpileup_by_contig(mpileup_path: str, out_dir: str,
+                            contigs: Optional[Sequence[str]] = None) -> List[str]:
+    """Split one mpileup stream into per-contig files (the reference's
+    DNA_ExtractChrPileupData, extract_chr_pileup_data/main.cpp:21-80).
+    Single pass; contig filter optional."""
+    os.makedirs(out_dir, exist_ok=True)
+    want = set(contigs) if contigs else None
+    written: List[str] = []
+    cur_name = None
+    cur_f = None
+    with open(mpileup_path, "rb", buffering=1 << 20) as f:
+        for line in f:
+            tab = line.find(b"\t")
+            name = line[:tab].decode()
+            if name != cur_name:
+                if cur_f:
+                    cur_f.close()
+                cur_name = name
+                if want is not None and name not in want:
+                    cur_f = None
+                else:
+                    path = os.path.join(out_dir, f"{name}.mpileup")
+                    cur_f = open(path, "wb", buffering=1 << 20)
+                    written.append(name)
+            if cur_f:
+                cur_f.write(line)
+    if cur_f:
+        cur_f.close()
+    return written
+
+
+def stage_pileup_features(
+    cfg: PipelineConfig,
+    ref: FastaReference,
+    chr_mpileup_dir: str,
+    out_dir: str,
+    contigs: Optional[Sequence[str]] = None,
+) -> Dict:
+    """s1: per-contig mpileup -> candidate windows -> pileup shards."""
+    from ..io.native import parse_mpileup_native
+
+    os.makedirs(out_dir, exist_ok=True)
+    contigs = list(contigs) if contigs else sorted(
+        (f[:-len(".mpileup")] for f in os.listdir(chr_mpileup_dir)
+         if f.endswith(".mpileup")), key=C.contig_sort_key)
+    total_rows = 0
+    total_cand = 0
+    t0 = time.monotonic()
+    fc = cfg.pileup_feature
+    for ctg in contigs:
+        path = os.path.join(chr_mpileup_dir, f"{ctg}.mpileup")
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            text = f.read()
+        seq = ref.contig(ctg)
+        pile = parse_mpileup_native(
+            text, ctg, seq,
+            snp_min_af=fc.snp_min_af, indel_min_af=fc.indel_min_af,
+            min_coverage=fc.min_depth, max_indel=fc.max_indel_size,
+            n_threads=cfg.threads or 0)
+        batch = assemble_windows(pile, seq, fc.flanking_bases)
+        mat, pos, refs33 = predict_inputs(batch)
+        keep_alt = {int(p): a for p, a in zip(batch.positions, batch.alt_info)}
+        shard = bins.PileupShard(
+            contig=ctg,
+            positions=pos,
+            matrix=mat,
+            ref_seqs=np.asarray([r.encode() for r in refs33], dtype="S33")
+            if len(refs33) else np.zeros(0, dtype="S33"),
+            alt_info=np.asarray([keep_alt[int(p)].encode() for p in pos],
+                                dtype="S") if len(pos) else np.zeros(0, dtype="S"),
+        )
+        bins.save_pileup_shard(os.path.join(out_dir, f"{ctg}.npz"), shard)
+        total_rows += len(pile.positions)
+        total_cand += len(pos)
+    dt = time.monotonic() - t0
+    return {"rows": total_rows, "candidates": total_cand,
+            "rows_per_s": round(total_rows / dt, 1) if dt else 0}
+
+
+def stage_pileup_predict(
+    cfg: PipelineConfig,
+    ref: FastaReference,
+    shard_dir: str,
+    output_vcf: str,
+    params=None,
+    model_path: Optional[str] = None,
+) -> Dict:
+    """s2: pileup shards -> VCF via the batched TPU predictor."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.convert import load_pileup_checkpoint
+    from ..models.pileup_model import pileup_predict
+    from ..parallel.inference import BatchedPredictor
+
+    if params is None:
+        params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(model_path))
+    mcfg = cfg.pileup_model
+    compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
+
+    def fn(p, x):
+        return pileup_predict(p, x.astype(jnp.float32), mcfg,
+                              compute_dtype=compute_dtype)
+
+    predictor = BatchedPredictor(fn, params, batch_size=cfg.inference.batch_size)
+
+    n_sites = 0
+    t0 = time.monotonic()
+    with open(output_vcf, "w") as out:
+        write_vcf_header(ref.fasta_path + ".fai", out)
+        for path in bins.list_shards(shard_dir):
+            shard = bins.load_pileup_shard(path)
+            if len(shard) == 0:
+                continue
+            gt, zy = predictor.run(shard.matrix.astype(np.float32))
+            ref_bases = [r.decode()[16] for r in shard.ref_seqs]
+            decode_pileup_calls(
+                shard.contig, shard.positions, ref_bases, gt, zy,
+                shard.matrix[:, mcfg.seq_len // 2, :], out,
+                batch_size=1000, bug_compat=cfg.inference.bug_compat)
+            n_sites += len(shard)
+    dt = time.monotonic() - t0
+    return {"sites": n_sites, "sites_per_s": round(n_sites / dt, 1) if dt else 0}
+
+
+# Signature: (contig, sub_groups [G,11] positions, pileup window flank)
+# -> dict with read matrices, or None to skip the chunk.
+ReadMatrixExtractor = Callable[[str, np.ndarray, int], Optional[Dict[str, np.ndarray]]]
+
+
+def stage_haplotype_features(
+    cfg: PipelineConfig,
+    ref: FastaReference,
+    pileup_vcf: str,
+    extractor: ReadMatrixExtractor,
+    out_dir: str,
+) -> Dict:
+    """s4: group selection + read-matrix extraction -> haplotype shards.
+
+    The extractor abstracts BAM access (native htslib-free reader, or any
+    source of read matrices). Padding/truncation semantics follow
+    write_to_bins.py:15-42: pad depth with -2 to the chunk max, truncate to
+    the configured caps keeping the first rows after HP-sort.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    hf = cfg.haplotype_feature
+    with open(pileup_vcf) as f:
+        sites = collect_sites(f, hf.low_quality_threshold)
+    n_groups = 0
+    for ctg in sorted(sites, key=C.contig_sort_key):
+        groups = build_groups(sites[ctg], hf.adjacent_size,
+                              hf.low_quality_threshold, hf.hete_support_quality)
+        if len(groups) == 0:
+            continue
+        seq = ref.contig(ctg)
+        for ci, chunk in enumerate(chunk_groups(groups)):
+            mats = extractor(ctg, chunk, hf.pileup_flanking_size)
+            if mats is None:
+                continue
+            shard = _pack_haplotype_shard(ctg, chunk, mats, hf)
+            if shard is None:
+                continue
+            start = int(shard.candidate_positions[0])
+            end = int(shard.candidate_positions[-1])
+            bins.save_haplotype_shard(
+                os.path.join(out_dir, f"{ctg}_{start}_{end}.npz"), shard)
+            n_groups += len(shard)
+    return {"groups": n_groups}
+
+
+def _pack_haplotype_shard(ctg, groups, mats, hf) -> Optional[bins.HaplotypeShard]:
+    """Pad per-site ragged read matrices to the chunk max depth with -2 and
+    apply depth caps (first rows kept, as the reference truncates after
+    HP-sorting)."""
+    def pack(key_prefix, cap):
+        arrs = mats[key_prefix]  # list of dicts of [d_i, L] arrays
+        if not arrs:
+            return None
+        maxd = max(a["sequences"].shape[0] for a in arrs)
+        if cap is not None:
+            maxd = min(maxd, cap) if maxd > 0 else maxd
+        packed = {}
+        for k in bins._KEYS:
+            out = np.full((len(arrs), max(maxd, 1), arrs[0][k].shape[1]),
+                          C.PAD_VALUE, dtype=np.int32)
+            for i, a in enumerate(arrs):
+                d = min(a[k].shape[0], maxd)
+                out[i, :d] = a[k][:d]
+            packed[k] = out
+        return packed
+
+    pileup = pack("pileup", hf.max_pileup_depth)
+    haplotype = pack("haplotype", hf.max_haplotype_depth)
+    if pileup is None or haplotype is None:
+        return None
+    return bins.HaplotypeShard(
+        contig=ctg,
+        candidate_positions=groups[:, groups.shape[1] // 2].astype(np.int64),
+        group_positions=groups.astype(np.int64),
+        pileup=pileup,
+        haplotype=haplotype,
+    )
+
+
+def stage_haplotype_predict(
+    cfg: PipelineConfig,
+    ref: FastaReference,
+    shard_dir: str,
+    output_csv: str,
+    params,
+) -> Dict:
+    """s5: haplotype shards -> featurize on device -> model -> calls CSV
+    (rows `ctg\\tpos\\tGT\\tqual`, reference predict_dev.py:43-47)."""
+    import jax.numpy as jnp
+
+    from ..decode.pileup_vcf import calculate_score
+    from ..models.haplotype_model import haplotype_predict
+    from ..parallel.inference import BatchedPredictor
+
+    hcfg = cfg.haplotype_model
+    compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
+
+    def fn(p, seq_p, bq_p, mq_p, hap_p, ref_p, seq_h, bq_h, mq_h, hap_h, ref_h):
+        xp = haplotype_features(seq_p, bq_p, mq_p, hap_p, ref_p)
+        xh = haplotype_features(seq_h, bq_h, mq_h, hap_h, ref_h)
+        return haplotype_predict(p, xp, xh, hcfg, compute_dtype=compute_dtype)
+
+    # depth is ragged across shards: pad to buckets so jit compiles once per
+    # bucket pair (the jit cache keys on shapes)
+    predictor = BatchedPredictor(fn, params, batch_size=cfg.inference.batch_size)
+    n_sites = 0
+    t0 = time.monotonic()
+    with open(output_csv, "w") as out:
+        for path in bins.list_shards(shard_dir):
+            shard = bins.load_haplotype_shard(path)
+            if len(shard) == 0:
+                continue
+            seq = ref.contig(shard.contig)
+            dp_b = _bucket(shard.pileup["sequences"].shape[1])
+            dh_b = _bucket(shard.haplotype["sequences"].shape[1])
+            f32 = np.float32
+            args = []
+            for view, db in (("pileup", dp_b), ("haplotype", dh_b)):
+                d = getattr(shard, view)
+                pad = ((0, 0), (0, db - d["sequences"].shape[1]), (0, 0))
+                for k in bins._KEYS:
+                    args.append(np.pad(d[k], pad,
+                                       constant_values=C.PAD_VALUE).astype(f32))
+                if view == "pileup":
+                    args.append(ref_window_codes(
+                        seq, shard.candidate_positions,
+                        cfg.haplotype_feature.pileup_flanking_size))
+                else:
+                    args.append(ref_position_codes(seq, shard.group_positions))
+            gt, zy = predictor.run(*args)
+            gt_arg = gt.argmax(axis=1)
+            gt_max = gt.max(axis=1)
+            for j in range(len(shard)):
+                qual = calculate_score(float(gt_max[j]))
+                out.write(f"{shard.contig}\t{int(shard.candidate_positions[j])}\t"
+                          f"{C.GT21_LABELS[gt_arg[j]]}\t{qual}\n")
+            n_sites += len(shard)
+    dt = time.monotonic() - t0
+    return {"sites": n_sites, "sites_per_s": round(n_sites / dt, 1) if dt else 0}
+
+
+def _bucket(d: int, buckets=(16, 32, 48, 64, 96, 128, 192, 256, 384, 512)) -> int:
+    for b in buckets:
+        if d <= b:
+            return b
+    return ((d + 127) // 128) * 128
+
+
+def stage_merge(
+    cfg: PipelineConfig,
+    pileup_vcf: str,
+    haplotype_csv: str,
+    output_vcf: str,
+) -> Dict:
+    with open(pileup_vcf) as pv, open(haplotype_csv) as hc, \
+            open(output_vcf, "w") as out:
+        n = merge_calls(pv, hc, out,
+                        quality_threshold=cfg.merge.quality,
+                        hap_quality=cfg.merge.hap_quality,
+                        pileup_rescue_quality=cfg.merge.pileup_rescue_quality)
+    return {"rescued": n}

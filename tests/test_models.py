@@ -1,0 +1,162 @@
+"""Numerical parity of the JAX models against torch oracles.
+
+The torch oracles are constructed here from torch.nn primitives configured
+like the reference models (PileupModel/model.py, HaplotypeModel/model_dev.py)
+and, for the pileup model, loaded with the reference's production checkpoint.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nanosnp_tpu.config import PileupModelConfig, HaplotypeModelConfig
+from nanosnp_tpu.models.bilstm import init_bilstm_params, bilstm_encoder
+from nanosnp_tpu.models.convert import (
+    lstm_layers_from_torch,
+    load_pileup_checkpoint,
+    haplotype_params_from_torch,
+)
+from nanosnp_tpu.models.pileup_model import init_pileup_params, pileup_forward, pileup_predict
+from nanosnp_tpu.models.haplotype_model import (
+    init_haplotype_params,
+    haplotype_predict,
+)
+
+torch = pytest.importorskip("torch")
+
+REF_CKPT = "/root/reference/PileupModel/models/ont_pileup.chkpt"
+
+
+def test_bilstm_matches_torch_lstm():
+    rng = np.random.default_rng(101)
+    torch.manual_seed(0)
+    lstm = torch.nn.LSTM(input_size=18, hidden_size=64, num_layers=2,
+                         batch_first=True, bidirectional=True)
+    sd = lstm.state_dict()
+    layers = lstm_layers_from_torch(sd, "", 2)
+    x = rng.standard_normal((7, 33, 18)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = lstm(torch.from_numpy(x))
+    got = bilstm_encoder(jax.tree.map(jnp.asarray, layers), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+def _torch_pileup_oracle():
+    """Reference-shaped torch modules loaded with the production checkpoint."""
+    ck = torch.load(REF_CKPT, map_location="cpu", weights_only=False)
+
+    lstm = torch.nn.LSTM(input_size=18, hidden_size=64, num_layers=2,
+                         batch_first=True, bidirectional=True)
+    proj = torch.nn.Linear(128, 128)
+    dense = torch.nn.Linear(128, 256)
+    heads = {h: torch.nn.Linear(256, n) for h, n in
+             [("genotype_layer", 21), ("zygosity_layer", 3),
+              ("indel1_layer", 33), ("indel2_layer", 33)]}
+
+    enc = ck["encoder"]
+    lstm.load_state_dict({k[len("lstm."):]: v for k, v in enc.items()
+                          if k.startswith("lstm.")})
+    proj.load_state_dict({k[len("output_proj."):]: v for k, v in enc.items()
+                          if k.startswith("output_proj.")})
+    fwd = ck["forward_layer"]
+    dense.load_state_dict({k[len("dense."):]: v for k, v in fwd.items()
+                           if k.startswith("dense.")})
+    for name, mod in heads.items():
+        mod.load_state_dict({k[len(name) + 1:]: v for k, v in fwd.items()
+                             if k.startswith(name + ".")})
+
+    def predict(x):
+        with torch.no_grad():
+            out, _ = lstm(torch.from_numpy(x))
+            out = proj(out)
+            out = torch.tanh(dense(out))[:, 16, :]
+            gt = torch.softmax(heads["genotype_layer"](out), 1)
+            zy = torch.softmax(heads["zygosity_layer"](out), 1)
+        return gt.numpy(), zy.numpy()
+
+    return predict
+
+
+def test_pileup_model_matches_reference_checkpoint():
+    rng = np.random.default_rng(102)
+    cfg = PileupModelConfig()
+    params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(REF_CKPT))
+    oracle = _torch_pileup_oracle()
+
+    # counts-like inputs in the real data range (int counts, ref-negation)
+    x = rng.integers(-40, 40, size=(64, 33, 18)).astype(np.float32)
+    want_gt, want_zy = oracle(x)
+    got_gt, got_zy = pileup_predict(params, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(got_gt), want_gt, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_zy), want_zy, atol=2e-5)
+    # decode decisions (argmax) identical
+    assert (np.asarray(got_gt).argmax(1) == want_gt.argmax(1)).all()
+    assert (np.asarray(got_zy).argmax(1) == want_zy.argmax(1)).all()
+
+
+def test_haplotype_model_matches_torch():
+    rng = np.random.default_rng(103)
+    cfg = HaplotypeModelConfig()
+    torch.manual_seed(1)
+
+    class Branch(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = torch.nn.LSTM(input_size=105, hidden_size=256, num_layers=3,
+                                      batch_first=True, bidirectional=True)
+            self.output_proj = torch.nn.Linear(512, 256)
+
+        def forward(self, x):
+            out, _ = self.lstm(x)
+            return self.output_proj(out)
+
+    p_enc, h_enc = Branch(), Branch()
+    dense = torch.nn.Linear(512, 256)
+    gt_head, zy_head = torch.nn.Linear(256, 10), torch.nn.Linear(256, 3)
+
+    sd = {}
+    for prefix, mod in [("pileup_encoder.", p_enc), ("haplotype_encoder.", h_enc)]:
+        for k, v in mod.state_dict().items():
+            sd[prefix + k] = v
+    for prefix, mod in [("forward_layer.dense", dense),
+                        ("forward_layer.genotype_layer", gt_head),
+                        ("forward_layer.zygosity_layer", zy_head)]:
+        for k, v in mod.state_dict().items():
+            sd[prefix + "." + k] = v
+    params = jax.tree.map(jnp.asarray, haplotype_params_from_torch(sd))
+
+    xp = rng.standard_normal((5, 33, 105)).astype(np.float32)
+    xh = rng.standard_normal((5, 11, 105)).astype(np.float32)
+    with torch.no_grad():
+        ep = p_enc(torch.from_numpy(xp))[:, 16, :]
+        eh = h_enc(torch.from_numpy(xh))[:, 5, :]
+        feat = torch.tanh(dense(torch.cat([ep, eh], dim=1)))
+        want_gt = torch.softmax(gt_head(feat), 1).numpy()
+        want_zy = torch.softmax(zy_head(feat), 1).numpy()
+
+    got_gt, got_zy = haplotype_predict(params, jnp.asarray(xp), jnp.asarray(xh), cfg)
+    np.testing.assert_allclose(np.asarray(got_gt), want_gt, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_zy), want_zy, atol=5e-5)
+    assert (np.asarray(got_gt).argmax(1) == want_gt.argmax(1)).all()
+
+
+def test_init_shapes_and_jit():
+    rng = np.random.default_rng(104)
+    cfg = PileupModelConfig()
+    params = init_pileup_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.standard_normal((4, 33, 18)), jnp.float32)
+    gt, zy, id1, id2 = jax.jit(
+        lambda p, x: pileup_forward(p, x, cfg))(params, x)
+    assert gt.shape == (4, 21) and zy.shape == (4, 3)
+    assert id1.shape == (4, 33) and id2.shape == (4, 33)
+
+    hcfg = HaplotypeModelConfig()
+    hparams = init_haplotype_params(jax.random.key(1), hcfg)
+    gt, zy = haplotype_predict(
+        hparams,
+        jnp.asarray(rng.standard_normal((4, 33, 105)), jnp.float32),
+        jnp.asarray(rng.standard_normal((4, 11, 105)), jnp.float32),
+        hcfg,
+    )
+    assert gt.shape == (4, 10) and zy.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(gt.sum(1)), 1.0, atol=1e-5)
