@@ -46,9 +46,9 @@ def bench_tpu() -> float:
     x = jnp.asarray(rng.integers(-40, 40, size=(BATCH, 33, 18)), jnp.float32)
 
     # Chain a numerically significant data dependency between steps (x
-    # perturbed by the previous step's mean prob) so each execution is
-    # distinct and strictly ordered, and fetch a scalar to host every step
-    # so async/relayed execution cannot run ahead of the timer.
+    # perturbed by the previous step's mean prob): every execution has
+    # distinct inputs (defeats any result caching in the execution path) and
+    # is strictly ordered, so blocking on the last step times all of them.
     @jax.jit
     def step(p, x, s):
         gt, zy = fn(p, x + s)
@@ -61,7 +61,7 @@ def bench_tpu() -> float:
     t0 = time.perf_counter()
     for _ in range(STEPS):
         gt, zy, s = step(params, x, s)
-        float(s)       # host sync each step
+    jax.block_until_ready(s)
     dt = time.perf_counter() - t0
     return BATCH * STEPS / dt
 

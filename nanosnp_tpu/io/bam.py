@@ -1,0 +1,188 @@
+"""BAM access via the native engine (io/native/bam_core.cpp).
+
+BamFile wraps a loaded+indexed BAM; pileup_region() yields the same
+ChromPileup arrays as the mpileup-text path without any samtools round-trip;
+read_matrices() yields read-by-position matrices for the haplotype stage
+(rows ordered like pysam's pileup iteration: first covered requested column,
+then BAM order).
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .native import NativeUnavailable, _ptr, get_lib
+
+
+def _bind(lib):
+    if getattr(lib, "_bam_bound", False):
+        return lib
+    lib.nsp_bam_open.restype = ctypes.c_int64
+    lib.nsp_bam_open.argtypes = [ctypes.c_char_p]
+    lib.nsp_bam_close.restype = None
+    lib.nsp_bam_close.argtypes = [ctypes.c_int64]
+    lib.nsp_bam_ref_info.restype = ctypes.c_int64
+    lib.nsp_bam_ref_info.argtypes = [
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64]
+    lib.nsp_bam_n_refs.restype = ctypes.c_int64
+    lib.nsp_bam_n_refs.argtypes = [ctypes.c_int64]
+    lib.nsp_bam_pileup_region.restype = ctypes.c_int64
+    lib.nsp_bam_pileup_region.argtypes = [
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.nsp_bam_read_matrices.restype = ctypes.c_int64
+    lib.nsp_bam_read_matrices.argtypes = [
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib._bam_bound = True
+    return lib
+
+
+# pysam stepper="all" default exclusion mask (UNMAP|SECONDARY|QCFAIL|DUP)
+PYSAM_EXCL_FLAGS = 1796
+
+
+class BamFile:
+    def __init__(self, path: str):
+        self.lib = _bind(get_lib())
+        self.path = path
+        self.handle = self.lib.nsp_bam_open(path.encode())
+        if self.handle < 0:
+            raise NativeUnavailable(f"failed to open BAM {path}: {self.handle}")
+
+    def close(self):
+        if self.handle >= 0:
+            self.lib.nsp_bam_close(self.handle)
+            self.handle = -1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def references(self) -> List[Tuple[str, int]]:
+        n = self.lib.nsp_bam_n_refs(self.handle)
+        if n <= 0:
+            return []
+        name_cap = 4096 * max(n, 1)
+        name_buf = ctypes.create_string_buffer(name_cap)
+        lengths = np.zeros(n, dtype=np.int64)
+        got = self.lib.nsp_bam_ref_info(self.handle, name_buf, name_cap,
+                                        _ptr(lengths), n)
+        names = name_buf.raw.split(b"\0")[: got]
+        return [(names[i].decode(), int(lengths[i])) for i in range(got)]
+
+    def pileup_region(
+        self,
+        contig: str,
+        start0: int,
+        end0: int,
+        chr_seq: np.ndarray,
+        snp_min_af: float = 0.12,
+        indel_min_af: float = 0.12,
+        min_coverage: int = 6,
+        max_indel: int = 60,
+        min_mq: int = 20,
+        excl_flags: int = 2316,
+        max_depth: int = 144,
+    ):
+        """ChromPileup for positions in [start0, end0) (0-based)."""
+        from ..features.pileup import ChromPileup
+
+        w = max(end0 - start0, 0)
+        positions = np.zeros(w, dtype=np.int64)
+        counts = np.zeros((w, 18), dtype=np.int32)
+        depths = np.zeros(w, dtype=np.int32)
+        cand = np.zeros(w, dtype=np.uint8)
+        afs = np.zeros(w, dtype=np.float64)
+        alt_off = np.zeros(2 * w, dtype=np.int64)
+        ref_bytes = chr_seq.tobytes()
+        alt_cap = max(1 << 16, 64 * w)
+        for _ in range(3):
+            alt_buf = np.zeros(alt_cap, dtype=np.uint8)
+            ret = self.lib.nsp_bam_pileup_region(
+                self.handle, contig.encode(), start0, end0,
+                ref_bytes, len(ref_bytes),
+                snp_min_af, indel_min_af, min_coverage, max_indel,
+                min_mq, excl_flags, max_depth,
+                _ptr(positions), _ptr(counts), _ptr(depths), _ptr(cand),
+                _ptr(afs), _ptr(alt_buf), alt_cap, _ptr(alt_off))
+            if ret >= 0:
+                break
+            if ret in (-1, -2):
+                raise NativeUnavailable(f"bam pileup failed: {ret}")
+            alt_cap = -ret
+        else:
+            raise RuntimeError("alt buffer negotiation failed")
+        m = int(ret)
+        alt_bytes = alt_buf.tobytes()
+        alt_info = [alt_bytes[alt_off[2 * i]: alt_off[2 * i + 1]].decode()
+                    for i in range(m)]
+        return ChromPileup(
+            chrom=contig,
+            positions=positions[:m].copy(),
+            counts=counts[:m].copy(),
+            depths=depths[:m].copy(),
+            is_candidate=cand[:m].astype(bool),
+            alt_info=alt_info,
+            afs=afs[:m].copy(),
+        )
+
+    def read_matrices(
+        self,
+        contig: str,
+        positions1: np.ndarray,
+        min_mq: int = 0,
+        excl_flags: int = PYSAM_EXCL_FLAGS,
+        max_reads: int = 1024,
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """Matrices over reads x requested positions: base (0/1-4/-1),
+        baseq, mapq [R, P] int32; hap [R]; rows sorted to pysam pileup
+        order. Returns None when no read covers any position."""
+        positions1 = np.asarray(positions1, dtype=np.int64)
+        n_pos = len(positions1)
+        for _ in range(4):
+            base = np.zeros((max_reads, n_pos), dtype=np.int32)
+            baseq = np.zeros((max_reads, n_pos), dtype=np.int32)
+            mapq = np.zeros((max_reads, n_pos), dtype=np.int32)
+            hap = np.zeros(max_reads, dtype=np.int32)
+            first_col = np.zeros(max_reads, dtype=np.int32)
+            ret = self.lib.nsp_bam_read_matrices(
+                self.handle, contig.encode(), _ptr(positions1), n_pos,
+                min_mq, excl_flags, max_reads,
+                _ptr(base), _ptr(baseq), _ptr(mapq), _ptr(hap),
+                _ptr(first_col))
+            if ret >= 0:
+                break
+            if ret in (-1, -2):
+                raise NativeUnavailable(f"bam read_matrices failed: {ret}")
+            max_reads = -(ret + 10) + 16
+        else:
+            raise RuntimeError("read capacity negotiation failed")
+        r = int(ret)
+        if r == 0:
+            return None
+        order = np.argsort(first_col[:r], kind="stable")
+        return {
+            "sequences": base[:r][order],
+            "baseq": baseq[:r][order],
+            "mapq": mapq[:r][order],
+            "hap_tags": hap[:r][order],
+            "first_col": first_col[:r][order],
+        }

@@ -16,7 +16,11 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
-_SRC = os.path.join(_NATIVE_DIR, "pileup_core.cpp")
+_SRCS = [
+    os.path.join(_NATIVE_DIR, "pileup_core.cpp"),
+    os.path.join(_NATIVE_DIR, "bam_core.cpp"),
+]
+_HDRS = [os.path.join(_NATIVE_DIR, "pileup_common.hpp")]
 _LIB = os.path.join(_NATIVE_DIR, "libnanosnp.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -29,7 +33,7 @@ class NativeUnavailable(RuntimeError):
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-fopenmp", "-shared",
-        "-fPIC", "-o", _LIB, _SRC,
+        "-fPIC", "-o", _LIB, *_SRCS, "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -43,8 +47,8 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        newest_src = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest_src:
             _build()
         lib = ctypes.CDLL(_LIB)
         lib.nsp_count_rows.restype = ctypes.c_int64

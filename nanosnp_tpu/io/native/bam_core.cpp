@@ -1,0 +1,613 @@
+// NanoSNP-TPU native BAM engine: BGZF + BAM record parsing + two pileup
+// consumers, no htslib dependency (zlib only).
+//
+//   nsp_bam_open/close      load + inflate a BAM, build an in-memory record
+//                           index (ref, start, end, offset) for region
+//                           queries without BAI files.
+//   nsp_bam_pileup_region   direct BAM -> per-position 18-channel tensors
+//                           for [start0, end0), replacing the reference's
+//                           samtools-mpileup text round-trip
+//                           (make_predict_data.sh steps 1-3). mpileup
+//                           semantics: --min-MQ / --excl-flags filters,
+//                           per-column --max-depth cap (first reads in BAM
+//                           order win), insertions attach to the preceding
+//                           counted base, deleted positions emit * / #
+//                           placeholders (--reverse-del), N bases count
+//                           toward depth-cap slots but contribute nothing.
+//   nsp_bam_read_matrices   read-by-position matrices (base code / baseq /
+//                           mapq / HP tag) for the haplotype feature stage,
+//                           replacing the pysam per-read-per-column loops
+//                           (create_pileup_haplotype.py:86-134). Row order:
+//                           host sorts by (first covered requested column,
+//                           BAM order) to reproduce pysam's pileup
+//                           iteration order.
+//
+// Chunked processing keeps memory at O(region) — the caller walks a contig
+// in overlapping windows (features assemble 33-wide candidate windows, so
+// chunks overlap by the flank and are trimmed host-side).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <mutex>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+
+#include "pileup_common.hpp"
+
+namespace {
+
+bool inflate_bgzf(const uint8_t* data, size_t len, std::vector<uint8_t>& out) {
+  out.clear();
+  out.reserve(len * 4);
+  size_t pos = 0;
+  std::vector<uint8_t> chunk(1 << 16);
+  z_stream zs;
+  while (pos + 18 <= len) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
+    zs.next_in = const_cast<uint8_t*>(data + pos);
+    zs.avail_in = (uInt)std::min<size_t>(len - pos, 0xffffffffu);
+    int ret = Z_OK;
+    while (ret != Z_STREAM_END) {
+      zs.next_out = chunk.data();
+      zs.avail_out = (uInt)chunk.size();
+      ret = inflate(&zs, Z_NO_FLUSH);
+      if (ret != Z_OK && ret != Z_STREAM_END) {
+        inflateEnd(&zs);
+        return false;
+      }
+      out.insert(out.end(), chunk.data(),
+                 chunk.data() + (chunk.size() - zs.avail_out));
+    }
+    pos += zs.total_in;
+    inflateEnd(&zs);
+    if (pos >= len) break;
+  }
+  return true;
+}
+
+struct BamRef {
+  std::string name;
+  int64_t length;
+};
+
+struct BamRecord {
+  int32_t ref_id;
+  int64_t pos;
+  uint8_t mapq;
+  uint16_t flag;
+  uint32_t n_cigar;
+  const uint32_t* cigar;
+  int32_t l_seq;
+  const uint8_t* seq4;
+  const uint8_t* qual;
+  const uint8_t* aux;
+  size_t aux_len;
+};
+
+struct RecordIdx {
+  int32_t ref_id;
+  int32_t start;   // 0-based
+  int32_t end;     // 0-based exclusive (start + ref span)
+  uint64_t off;    // offset of block_size field in inflated data
+};
+
+struct OpenBam {
+  std::vector<uint8_t> data;
+  std::vector<BamRef> refs;
+  std::unordered_map<std::string, int> ref_ids;
+  std::vector<RecordIdx> index;           // sorted by (ref_id, start)
+  std::vector<size_t> ref_index_begin;    // per ref: first index entry
+};
+
+std::mutex g_mu;
+std::unordered_map<int64_t, OpenBam*> g_open;
+int64_t g_next_handle = 1;
+
+bool parse_record_at(const OpenBam& b, uint64_t off, BamRecord* r,
+                     uint64_t* next_off) {
+  if (off + 4 > b.data.size()) return false;
+  const uint8_t* base = b.data.data();
+  int32_t block_size = *(const int32_t*)(base + off);
+  if (block_size < 32 || off + 4 + (uint64_t)block_size > b.data.size())
+    return false;
+  const uint8_t* p = base + off + 4;
+  r->ref_id = *(const int32_t*)(p + 0);
+  r->pos = *(const int32_t*)(p + 4);
+  uint8_t l_read_name = p[8];
+  r->mapq = p[9];
+  r->n_cigar = *(const uint16_t*)(p + 12);
+  r->flag = *(const uint16_t*)(p + 14);
+  r->l_seq = *(const int32_t*)(p + 16);
+  const uint8_t* q = p + 32 + l_read_name;
+  r->cigar = (const uint32_t*)q;
+  q += 4ull * r->n_cigar;
+  r->seq4 = q;
+  q += ((uint64_t)r->l_seq + 1) / 2;
+  r->qual = q;
+  q += r->l_seq;
+  r->aux = q;
+  r->aux_len = (size_t)block_size - (q - p);
+  *next_off = off + 4 + block_size;
+  return true;
+}
+
+inline int seq_base16(const uint8_t* seq4, int64_t i) {
+  uint8_t b = seq4[i >> 1];
+  return (i & 1) ? (b & 0xf) : (b >> 4);
+}
+
+const char SEQ16_CHAR[16] = {'=', 'A', 'C', 'M', 'G', 'R', 'S', 'V',
+                             'T', 'W', 'Y', 'H', 'K', 'D', 'B', 'N'};
+const int8_t SEQ16_NT4[16] = {4, 0, 1, 4, 2, 4, 4, 4,
+                              3, 4, 4, 4, 4, 4, 4, 4};
+
+enum { OP_M = 0, OP_I, OP_D, OP_N, OP_S, OP_H, OP_P, OP_EQ, OP_X };
+
+int64_t ref_span_of(const BamRecord& r) {
+  int64_t span = 0;
+  for (uint32_t ci = 0; ci < r.n_cigar; ++ci) {
+    uint32_t op = r.cigar[ci] & 0xf;
+    if (op == OP_M || op == OP_EQ || op == OP_X || op == OP_D || op == OP_N)
+      span += r.cigar[ci] >> 4;
+  }
+  return span;
+}
+
+bool aux_int(const BamRecord& r, const char tag[2], int64_t* out) {
+  const uint8_t* p = r.aux;
+  const uint8_t* end = r.aux + r.aux_len;
+  while (p + 3 <= end) {
+    char t0 = (char)p[0], t1 = (char)p[1], type = (char)p[2];
+    p += 3;
+    size_t sz = 0;
+    switch (type) {
+      case 'A': case 'c': case 'C': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t* q = p;
+        while (q < end && *q) ++q;
+        sz = (size_t)(q - p) + 1;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > end) return false;
+        char sub = (char)p[0];
+        uint32_t cnt = *(const uint32_t*)(p + 1);
+        size_t esz = (sub == 'c' || sub == 'C') ? 1
+                     : (sub == 's' || sub == 'S') ? 2 : 4;
+        sz = 5 + (size_t)cnt * esz;
+        break;
+      }
+      default:
+        return false;
+    }
+    if (p + sz > end) return false;
+    if (t0 == tag[0] && t1 == tag[1]) {
+      switch (type) {
+        case 'c': *out = *(const int8_t*)p; return true;
+        case 'C': *out = *(const uint8_t*)p; return true;
+        case 's': *out = *(const int16_t*)p; return true;
+        case 'S': *out = *(const uint16_t*)p; return true;
+        case 'i': *out = *(const int32_t*)p; return true;
+        case 'I': *out = *(const uint32_t*)p; return true;
+        default: return false;
+      }
+    }
+    p += sz;
+  }
+  return false;
+}
+
+// iterate index entries of records overlapping [start, end) on ref_id
+struct RegionIter {
+  const OpenBam& b;
+  int ref_id;
+  int64_t start, end;
+  size_t i;
+  RegionIter(const OpenBam& b_, int ref_id_, int64_t s, int64_t e)
+      : b(b_), ref_id(ref_id_), start(s), end(e) {
+    i = b.ref_index_begin[ref_id];
+  }
+  bool next(BamRecord* r) {
+    while (i < b.index.size() && b.index[i].ref_id == ref_id) {
+      const RecordIdx& ri = b.index[i];
+      if (ri.start >= end) return false;  // sorted: done
+      ++i;
+      if (ri.end <= start) continue;
+      uint64_t dummy;
+      if (!parse_record_at(b, ri.off, r, &dummy)) return false;
+      return true;
+    }
+    return false;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t nsp_bam_open(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> raw((size_t)sz);
+  if (std::fread(raw.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    std::fclose(f);
+    return -1;
+  }
+  std::fclose(f);
+
+  OpenBam* b = new OpenBam();
+  if (!inflate_bgzf(raw.data(), raw.size(), b->data)) {
+    delete b;
+    return -2;
+  }
+  // header
+  const uint8_t* base = b->data.data();
+  if (b->data.size() < 12 || std::memcmp(base, "BAM\1", 4) != 0) {
+    delete b;
+    return -3;
+  }
+  uint64_t off = 4;
+  int32_t l_text = *(const int32_t*)(base + off);
+  off += 4 + (uint64_t)l_text;
+  int32_t n_ref = *(const int32_t*)(base + off);
+  off += 4;
+  b->refs.resize(n_ref);
+  for (int i = 0; i < n_ref; ++i) {
+    int32_t l_name = *(const int32_t*)(base + off);
+    off += 4;
+    b->refs[i].name.assign((const char*)base + off, l_name - 1);
+    off += (uint64_t)l_name;
+    b->refs[i].length = *(const int32_t*)(base + off);
+    off += 4;
+    b->ref_ids[b->refs[i].name] = i;
+  }
+  // record index
+  BamRecord r;
+  uint64_t next;
+  while (off < b->data.size() && parse_record_at(*b, off, &r, &next)) {
+    if (r.ref_id >= 0) {
+      RecordIdx ri;
+      ri.ref_id = r.ref_id;
+      ri.start = (int32_t)r.pos;
+      ri.end = (int32_t)(r.pos + ref_span_of(r));
+      ri.off = off;
+      b->index.push_back(ri);
+    }
+    off = next;
+  }
+  std::stable_sort(b->index.begin(), b->index.end(),
+                   [](const RecordIdx& a, const RecordIdx& c) {
+                     return a.ref_id != c.ref_id ? a.ref_id < c.ref_id
+                                                 : a.start < c.start;
+                   });
+  b->ref_index_begin.assign(n_ref + 1, b->index.size());
+  for (size_t i = b->index.size(); i-- > 0;) {
+    b->ref_index_begin[b->index[i].ref_id] = i;
+  }
+  for (int i = n_ref - 1; i >= 0; --i) {
+    if (b->ref_index_begin[i] > b->ref_index_begin[i + 1])
+      b->ref_index_begin[i] = b->ref_index_begin[i + 1];
+  }
+
+  std::lock_guard<std::mutex> lk(g_mu);
+  int64_t h = g_next_handle++;
+  g_open[h] = b;
+  return h;
+}
+
+void nsp_bam_close(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  auto it = g_open.find(handle);
+  if (it != g_open.end()) {
+    delete it->second;
+    g_open.erase(it);
+  }
+}
+
+int64_t nsp_bam_n_refs(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  auto it = g_open.find(handle);
+  return it == g_open.end() ? -1 : (int64_t)it->second->refs.size();
+}
+
+int64_t nsp_bam_ref_info(int64_t handle, char* name_buf, int64_t name_cap,
+                         int64_t* lengths, int64_t max_refs) {
+  OpenBam* b;
+  {
+    std::lock_guard<std::mutex> lk(g_mu);
+    auto it = g_open.find(handle);
+    if (it == g_open.end()) return -1;
+    b = it->second;
+  }
+  int64_t n = std::min<int64_t>((int64_t)b->refs.size(), max_refs);
+  int64_t off = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t l = (int64_t)b->refs[i].name.size() + 1;
+    if (off + l <= name_cap)
+      std::memcpy(name_buf + off, b->refs[i].name.c_str(), (size_t)l);
+    off += l;
+    lengths[i] = b->refs[i].length;
+  }
+  return n;
+}
+
+// Pileup over [start0, end0) (0-based). Output arrays must hold up to
+// (end0 - start0) rows. Returns rows written, or -needed_alt_cap when the
+// alt buffer is too small, or -1/-2 on errors.
+int64_t nsp_bam_pileup_region(
+    int64_t handle, const char* ref_name, int64_t start0, int64_t end0,
+    const char* ref_seq, int64_t ref_len,
+    double snp_min_af, double indel_min_af, int min_coverage, int max_indel,
+    int min_mq, int excl_flags, int max_depth,
+    int64_t* positions, int32_t* counts, int32_t* depths,
+    uint8_t* is_candidate, double* afs,
+    char* alt_buf, int64_t alt_cap, int64_t* alt_off) {
+  OpenBam* b;
+  {
+    std::lock_guard<std::mutex> lk(g_mu);
+    auto it = g_open.find(handle);
+    if (it == g_open.end()) return -1;
+    b = it->second;
+  }
+  auto rid = b->ref_ids.find(ref_name);
+  if (rid == b->ref_ids.end()) return -2;
+  if (end0 > ref_len) end0 = ref_len;
+  if (start0 < 0) start0 = 0;
+  int64_t w = end0 - start0;
+  if (w <= 0) return 0;
+
+  std::vector<int32_t> singles((size_t)w * nsp::NUM_SINGLE, 0);
+  std::vector<int32_t> col_n((size_t)w, 0);
+  struct Obs { bool is_del; bool fwd; int32_t len; std::string seq; int count; };
+  // per position: distinct observations keyed like mpileup cov_stats
+  std::map<int64_t, std::map<std::string, Obs>> indel_map;
+
+  RegionIter iter(*b, rid->second, start0, end0);
+  BamRecord r;
+  std::string key, seq;
+  while (iter.next(&r)) {
+    if (r.flag & excl_flags) continue;
+    if (r.mapq < min_mq) continue;
+    bool fwd = !(r.flag & 16);
+    int64_t rpos = r.pos;
+    int64_t qpos = 0;
+    int64_t last_base_pos1 = -1;   // 1-based pos of last ref-consuming base
+    bool last_base_counted = false;
+    for (uint32_t ci = 0; ci < r.n_cigar; ++ci) {
+      uint32_t c = r.cigar[ci];
+      uint32_t op = c & 0xf;
+      int64_t ln = c >> 4;
+      switch (op) {
+        case OP_M: case OP_EQ: case OP_X: {
+          for (int64_t k = 0; k < ln; ++k) {
+            int64_t p0 = rpos + k;
+            last_base_pos1 = p0 + 1;
+            last_base_counted = false;
+            if (p0 < start0 || p0 >= end0) {
+              // outside window: treat as counted for indel attachment
+              // (the cap is tracked only inside the window)
+              last_base_counted = true;
+              continue;
+            }
+            int64_t x = p0 - start0;
+            if (max_depth > 0 && col_n[x] >= max_depth) continue;
+            ++col_n[x];
+            last_base_counted = true;
+            int b4 = SEQ16_NT4[seq_base16(r.seq4, qpos + k)];
+            if (b4 < 4) {
+              ++singles[(size_t)x * nsp::NUM_SINGLE +
+                        (fwd ? nsp::S_A : nsp::S_a) + b4];
+            }
+          }
+          rpos += ln;
+          qpos += ln;
+          break;
+        }
+        case OP_I: {
+          if (last_base_pos1 > 0 && last_base_counted && ln <= max_indel &&
+              last_base_pos1 - 1 >= start0 && last_base_pos1 - 1 < end0) {
+            seq.clear();
+            for (int64_t k = 0; k < ln; ++k)
+              seq += SEQ16_CHAR[seq_base16(r.seq4, qpos + k)];
+            key = "+";
+            key += seq;
+            key += fwd ? 'F' : 'R';
+            Obs& ob = indel_map[last_base_pos1][key];
+            if (ob.count == 0) ob = Obs{false, fwd, (int32_t)ln, seq, 0};
+            ++ob.count;
+          }
+          qpos += ln;
+          break;
+        }
+        case OP_D: {
+          if (last_base_pos1 > 0 && last_base_counted && ln <= max_indel &&
+              last_base_pos1 - 1 >= start0 && last_base_pos1 - 1 < end0) {
+            key = "-";
+            key += std::to_string(ln);
+            key += fwd ? 'F' : 'R';
+            Obs& ob = indel_map[last_base_pos1][key];
+            if (ob.count == 0) ob = Obs{true, fwd, (int32_t)ln, "", 0};
+            ++ob.count;
+          }
+          for (int64_t k = 0; k < ln; ++k) {
+            int64_t p0 = rpos + k;
+            if (p0 < start0 || p0 >= end0) continue;
+            int64_t x = p0 - start0;
+            if (max_depth > 0 && col_n[x] >= max_depth) continue;
+            ++col_n[x];
+            ++singles[(size_t)x * nsp::NUM_SINGLE +
+                      (fwd ? nsp::S_STAR : nsp::S_POUND)];
+          }
+          rpos += ln;
+          break;
+        }
+        case OP_N: rpos += ln; break;
+        case OP_S: qpos += ln; break;
+        default: break;
+      }
+    }
+  }
+
+  int64_t n_out = 0;
+  int64_t alt_used = 0;
+  std::string alt_str;
+  std::vector<nsp::IndelObs> indels;
+  for (int64_t x = 0; x < w; ++x) {
+    if (col_n[x] == 0) continue;   // mpileup emits only covered positions
+    int64_t pos1 = start0 + x + 1;
+    indels.clear();
+    auto it = indel_map.find(pos1);
+    if (it != indel_map.end()) {
+      for (auto& kv : it->second) {
+        nsp::IndelObs ob;
+        ob.is_del = kv.second.is_del;
+        ob.fwd = kv.second.fwd;
+        ob.seq = kv.second.seq;
+        ob.del_len = kv.second.is_del ? kv.second.len : 0;
+        ob.count = kv.second.count;
+        indels.push_back(std::move(ob));
+      }
+    }
+    nsp::PosResult res;
+    int32_t* row_counts = counts + n_out * nsp::NUM_CH;
+    nsp::aggregate_position(&singles[(size_t)x * nsp::NUM_SINGLE], indels,
+                            ref_seq, ref_len, pos1, snp_min_af, indel_min_af,
+                            row_counts, &res, &alt_str);
+    char ref_base = (char)std::toupper(ref_seq[pos1 - 1]);
+    bool cand = nsp::tables().nt4[(uint8_t)ref_base] < 4 && res.pass_af &&
+                res.depth >= min_coverage;
+    positions[n_out] = pos1;
+    depths[n_out] = (int32_t)res.depth;
+    afs[n_out] = res.af;
+    is_candidate[n_out] = cand ? 1 : 0;
+    int64_t sl = cand ? (int64_t)alt_str.size() : 0;
+    alt_off[2 * n_out] = alt_used;
+    alt_off[2 * n_out + 1] = alt_used + sl;
+    if (sl && alt_used + sl <= alt_cap)
+      std::memcpy(alt_buf + alt_used, alt_str.data(), (size_t)sl);
+    alt_used += sl;
+    ++n_out;
+  }
+  if (alt_used > alt_cap) return -std::max<int64_t>(alt_used, 1);
+  return n_out;
+}
+
+// Read matrices at requested positions (see file header). Returns n_reads,
+// -(10 + needed) when max_reads is insufficient, or -1/-2 on errors.
+int64_t nsp_bam_read_matrices(
+    int64_t handle, const char* ref_name,
+    const int64_t* positions1, int64_t n_pos,
+    int min_mq, int excl_flags,
+    int64_t max_reads,
+    int32_t* base_out, int32_t* baseq_out, int32_t* mapq_out,
+    int32_t* hap_out, int32_t* first_col_out) {
+  OpenBam* b;
+  {
+    std::lock_guard<std::mutex> lk(g_mu);
+    auto it = g_open.find(handle);
+    if (it == g_open.end()) return -1;
+    b = it->second;
+  }
+  auto rid = b->ref_ids.find(ref_name);
+  if (rid == b->ref_ids.end()) return -2;
+  if (n_pos <= 0) return 0;
+  int64_t lo = positions1[0] - 1, hi = positions1[n_pos - 1];
+
+  RegionIter iter(*b, rid->second, lo, hi);
+  BamRecord r;
+  int64_t n_reads = 0;
+  while (iter.next(&r)) {
+    if (r.flag & excl_flags) continue;
+    if (r.mapq < min_mq) continue;
+    bool fits = n_reads < max_reads;
+    bool touched = false;
+    int32_t first_col = -1;
+    int32_t* brow = nullptr;
+    int32_t* qrow = nullptr;
+    int32_t* mrow = nullptr;
+    if (fits) {
+      brow = base_out + n_reads * n_pos;
+      qrow = baseq_out + n_reads * n_pos;
+      mrow = mapq_out + n_reads * n_pos;
+      std::memset(brow, 0, (size_t)n_pos * sizeof(int32_t));
+      std::memset(qrow, 0, (size_t)n_pos * sizeof(int32_t));
+      std::memset(mrow, 0, (size_t)n_pos * sizeof(int32_t));
+    }
+    int64_t rpos = r.pos;
+    int64_t qpos = 0;
+    for (uint32_t ci = 0; ci < r.n_cigar; ++ci) {
+      uint32_t c = r.cigar[ci];
+      uint32_t op = c & 0xf;
+      int64_t ln = c >> 4;
+      if (op == OP_M || op == OP_EQ || op == OP_X) {
+        const int64_t* it2 = std::lower_bound(positions1, positions1 + n_pos,
+                                              rpos + 1);
+        for (; it2 < positions1 + n_pos && *it2 <= rpos + ln; ++it2) {
+          int64_t col = it2 - positions1;
+          int64_t k = *it2 - 1 - rpos;
+          int b4 = SEQ16_NT4[seq_base16(r.seq4, qpos + k)];
+          if (fits) {
+            // non-ACGT read base stays 0 (the reference's base_to_int
+            // lookup would throw and poison its whole chunk —
+            // create_pileup_haplotype.py:122,213; we keep the site)
+            brow[col] = (b4 < 4) ? b4 + 1 : 0;
+            if (b4 < 4) {
+              qrow[col] = r.qual[qpos + k];
+              mrow[col] = r.mapq;
+            }
+          }
+          if (b4 < 4) {
+            if (first_col < 0) first_col = (int32_t)col;
+            touched = true;
+          }
+        }
+        rpos += ln;
+        qpos += ln;
+      } else if (op == OP_D) {
+        const int64_t* it2 = std::lower_bound(positions1, positions1 + n_pos,
+                                              rpos + 1);
+        for (; it2 < positions1 + n_pos && *it2 <= rpos + ln; ++it2) {
+          int64_t col = it2 - positions1;
+          if (fits) {
+            brow[col] = -1;
+            mrow[col] = r.mapq;
+          }
+          if (first_col < 0) first_col = (int32_t)col;
+          touched = true;
+        }
+        rpos += ln;
+      } else if (op == OP_N) {
+        rpos += ln;
+      } else if (op == OP_I || op == OP_S) {
+        qpos += ln;
+      }
+    }
+    if (touched) {
+      if (fits) {
+        int64_t hp = 3;
+        int64_t val;
+        if (aux_int(r, "HP", &val)) hp = val;
+        hap_out[n_reads] = (int32_t)hp;
+        first_col_out[n_reads] = first_col;
+      }
+      ++n_reads;
+    }
+  }
+  if (n_reads > max_reads) return -(10 + n_reads);
+  return n_reads;
+}
+
+}  // extern "C"

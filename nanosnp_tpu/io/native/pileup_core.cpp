@@ -1,16 +1,13 @@
 // NanoSNP-TPU native host kernel: mpileup text -> per-position 18-channel
 // count tensors + candidate flags + alt-allele summaries.
 //
-// Semantics match the reference TensorMaker
-// (dna_sv_tensor/src/make_candidate_snp_tensor/tensor_maker.cpp:61-249,
-// main.cpp:196-201), verified by differential tests against the reference
-// binary. The architecture is new: instead of a single-threaded streaming
-// ring buffer, rows are parsed fully in parallel (OpenMP over row ranges)
+// Row parsing mirrors the reference TensorMaker string semantics
+// (tensor_maker.cpp:83-114); aggregation is shared with the direct BAM
+// engine (pileup_common.hpp). Rows are parsed fully in parallel (OpenMP)
 // into flat arrays; window assembly happens downstream as a vectorized
-// gather. alt-info strings are packed into one buffer with offsets.
+// gather. Verified row-for-row against the reference binary.
 //
-// Build: g++ -O3 -march=native -std=c++17 -fopenmp -shared -fPIC
-//        -o libnanosnp.so pileup_core.cpp
+// Built into libnanosnp.so together with bam_core.cpp (see native.py).
 
 #include <algorithm>
 #include <cctype>
@@ -25,69 +22,42 @@
 #include <omp.h>
 #endif
 
+#include "pileup_common.hpp"
+
+using nsp::IndelObs;
+using nsp::PosResult;
+
 namespace {
 
-enum Channel {
-  CH_A = 0, CH_C, CH_G, CH_T, CH_I, CH_I1, CH_D, CH_D1, CH_STAR,
-  CH_a, CH_c, CH_g, CH_t, CH_i, CH_i1, CH_d, CH_d1, CH_POUND,
-  NUM_CH
-};
-
-struct Tables {
-  uint8_t nt4[256];        // ACGTacgt -> 0..3, else 4
-  int8_t ch[256];          // single mpileup char -> channel, else -1
-  bool normal[256];        // ACGTNacgtn*#
-  bool fwd[256];           // ACGTN*
-  Tables() {
-    std::memset(nt4, 4, sizeof(nt4));
-    const char* b = "ACGT";
-    for (int i = 0; i < 4; ++i) {
-      nt4[(int)b[i]] = i;
-      nt4[(int)std::tolower(b[i])] = i;
-    }
-    std::memset(ch, -1, sizeof(ch));
-    ch[(int)'A'] = CH_A; ch[(int)'C'] = CH_C; ch[(int)'G'] = CH_G;
-    ch[(int)'T'] = CH_T; ch[(int)'a'] = CH_a; ch[(int)'c'] = CH_c;
-    ch[(int)'g'] = CH_g; ch[(int)'t'] = CH_t;
-    ch[(int)'*'] = CH_STAR; ch[(int)'#'] = CH_POUND;
+struct TextTables {
+  bool normal[256];   // ACGTNacgtn*#
+  int8_t single[256]; // -> SingleIdx or -1
+  TextTables() {
     std::memset(normal, 0, sizeof(normal));
     for (const char* p = "ACGTNacgtn*#"; *p; ++p) normal[(int)*p] = true;
-    std::memset(fwd, 0, sizeof(fwd));
-    for (const char* p = "ACGTN*"; *p; ++p) fwd[(int)*p] = true;
+    std::memset(single, -1, sizeof(single));
+    const char* fw = "ACGT";
+    const char* rv = "acgt";
+    for (int i = 0; i < 4; ++i) {
+      single[(int)fw[i]] = nsp::S_A + i;
+      single[(int)rv[i]] = nsp::S_a + i;
+    }
+    single[(int)'*'] = nsp::S_STAR;
+    single[(int)'#'] = nsp::S_POUND;
+    // N/n observed but contribute nothing (reference ignores them)
   }
 };
-const Tables T;
-
-// Parse one row's base string; fill counts[18]; return alt-info pieces.
-struct RowResult {
-  int64_t depth = 0;
-  double af = 0.0;
-  bool pass_af = false;
-  int max_del_length = 0;
-  std::string alt_info;  // "key cnt key cnt " (sorted keys), empty if no alts
-};
+const TextTables TT;
 
 void parse_row(const char* bases, int64_t blen, const char* ref_seq,
                int64_t ref_len, int64_t pos1, double snp_min_af,
                double indel_min_af, int max_indel, int32_t* counts,
-               RowResult* out, bool want_alt_info) {
-  char raw_ref = (pos1 - 1 < ref_len) ? ref_seq[pos1 - 1] : 'N';
-  char chr_base, chr_base_lower;
-  if (T.nt4[(uint8_t)raw_ref] < 4) {
-    chr_base = std::toupper(raw_ref);
-    chr_base_lower = std::tolower(raw_ref);
-  } else {
-    chr_base = 'A';
-    chr_base_lower = 'a';
-  }
-
-  std::memset(counts, 0, NUM_CH * sizeof(int32_t));
-
-  // single-char observations in a flat table; indel observations keyed by
-  // their raw text (strand-cased) for the most-frequent-single-obs channels
-  int32_t singles[256];
+               PosResult* out, std::string* alt_info) {
+  int32_t singles[nsp::NUM_SINGLE];
   std::memset(singles, 0, sizeof(singles));
-  std::map<std::string, int> indels;
+  // distinct printed indel keys, preserving the reference's cov_stats
+  // granularity (case encodes strand)
+  std::map<std::string, int> indel_keys;
 
   int64_t i = 0;
   std::string key;
@@ -103,138 +73,37 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
       if (adv <= max_indel) {
         key.assign(1, b);
         key.append(bases + i, (size_t)adv);
-        ++indels[key];
+        ++indel_keys[key];
       }
       i += adv - 1;
-    } else if (T.normal[(uint8_t)b]) {
-      ++singles[(uint8_t)b];
+    } else if (TT.normal[(uint8_t)b]) {
+      if (TT.single[(uint8_t)b] >= 0) ++singles[TT.single[(uint8_t)b]];
     } else if (b == '^') {
       ++i;
     }
     ++i;
   }
 
-  // aggregate: alt_dict + pileup_dict, channels, depth
-  int64_t depth = 0;
-  int max_ins0 = 0, max_ins1 = 0, max_del0 = 0, max_del1 = 0;
-  int max_del_length = 0;
-  std::map<std::string, int> alt_dict;   // ordered like the reference output
-  int32_t base_counts[4] = {0, 0, 0, 0}; // pileup_dict A C G T
-  int32_t ins_total = 0, del_total = 0;
-
-  for (int c = 0; c < 256; ++c) {
-    int32_t cnt = singles[c];
-    if (!cnt) continue;
-    if (T.nt4[c] < 4) {
-      char up = (char)std::toupper(c);
-      base_counts[T.nt4[c]] += cnt;
-      depth += cnt;
-      if (up != chr_base) alt_dict[std::string("X") + up] += cnt;
-      counts[T.ch[c]] += cnt;
-    } else if (c == '*') {
-      counts[CH_STAR] += cnt;
-      depth += cnt;
-    } else if (c == '#') {
-      counts[CH_POUND] += cnt;
-      depth += cnt;
-    }
-    // N/n: ignored entirely
-  }
-
-  std::string alt_key;
-  for (auto& kv : indels) {
+  std::vector<IndelObs> indels;
+  indels.reserve(indel_keys.size());
+  for (auto& kv : indel_keys) {
     const std::string& k = kv.first;
-    int cnt = kv.second;
-    bool is_fwd = T.fwd[(uint8_t)k[1]];
-    if (k[0] == '+') {
-      alt_key.assign(1, 'I');
-      alt_key += chr_base;
-      for (size_t p = 1; p < k.size(); ++p) alt_key += (char)std::toupper(k[p]);
-      alt_dict[alt_key] += cnt;
-      ins_total += cnt;
-      if (is_fwd) {
-        counts[CH_I] += cnt;
-        max_ins0 = std::max(max_ins0, cnt);
-      } else {
-        counts[CH_i] += cnt;
-        max_ins1 = std::max(max_ins1, cnt);
-      }
+    IndelObs ob;
+    ob.is_del = (k[0] == '-');
+    ob.fwd = nsp::tables().fwd[(uint8_t)k[1]];
+    ob.count = kv.second;
+    if (ob.is_del) {
+      ob.del_len = (int)k.size() - 1;
     } else {
-      int dlen = (int)k.size() - 1;
-      alt_key.assign(1, 'D');
-      for (int p = 1; p <= dlen; ++p) {
-        alt_key += (pos1 + p - 1 < ref_len) ? ref_seq[pos1 + p - 1] : 'N';
-      }
-      alt_dict[alt_key] += cnt;
-      del_total += cnt;
-      max_del_length = std::max(max_del_length, dlen);
-      if (is_fwd) {
-        counts[CH_D] += cnt;
-        max_del0 = std::max(max_del0, cnt);
-      } else {
-        counts[CH_d] += cnt;
-        max_del1 = std::max(max_del1, cnt);
-      }
+      ob.seq.reserve(k.size() - 1);
+      for (size_t p = 1; p < k.size(); ++p)
+        ob.seq += (char)std::toupper(k[p]);
     }
+    indels.push_back(std::move(ob));
   }
 
-  counts[CH_I1] = max_ins0;
-  counts[CH_i1] = max_ins1;
-  counts[CH_D1] = max_del0;
-  counts[CH_d1] = max_del1;
-
-  int64_t denom = depth ? depth : 1;
-
-  // pileup list in sorted-key order (A C D G I T), then stable by count desc
-  struct Item { char key; int32_t cnt; };
-  Item items[6];
-  int n_items = 0;
-  const char key_order[6] = {'A', 'C', 'D', 'G', 'I', 'T'};
-  for (char kc : key_order) {
-    int32_t cnt = 0;
-    if (kc == 'I') cnt = ins_total;
-    else if (kc == 'D') cnt = del_total;
-    else cnt = base_counts[T.nt4[(uint8_t)kc]];
-    if (cnt) items[n_items++] = {kc, cnt};
-  }
-  std::stable_sort(items, items + n_items,
-                   [](const Item& a, const Item& b) { return a.cnt > b.cnt; });
-
-  bool pass_af = n_items > 0 && items[0].key != chr_base;
-  bool pass_snp = false, pass_indel = false;
-  for (int t = 0; t < n_items; ++t) {
-    if (items[t].key == chr_base) continue;
-    double freq = (double)items[t].cnt / (double)denom;
-    if (items[t].key == 'I' || items[t].key == 'D') {
-      pass_indel = pass_indel || (freq >= indel_min_af);
-    } else {
-      pass_snp = pass_snp || (freq >= snp_min_af);
-    }
-  }
-
-  double af = (n_items > 1) ? (double)items[1].cnt / (double)denom : 0.0;
-  if (n_items > 0 && items[0].key != chr_base)
-    af = (double)items[0].cnt / (double)denom;
-
-  // reference-base negation
-  int32_t fwd_sum = counts[CH_A] + counts[CH_C] + counts[CH_G] + counts[CH_T];
-  counts[T.ch[(uint8_t)chr_base]] = -fwd_sum;
-  int32_t rev_sum = counts[CH_a] + counts[CH_c] + counts[CH_g] + counts[CH_t];
-  counts[T.ch[(uint8_t)chr_base_lower]] = -rev_sum;
-
-  out->depth = depth;
-  out->af = af;
-  out->pass_af = pass_af || pass_snp || pass_indel;
-  out->max_del_length = max_del_length;
-  if (want_alt_info) {
-    out->alt_info.clear();
-    char tmp[32];
-    for (auto& kv : alt_dict) {
-      out->alt_info += kv.first;
-      int n = std::snprintf(tmp, sizeof(tmp), " %d ", kv.second);
-      out->alt_info.append(tmp, n);
-    }
-  }
+  nsp::aggregate_position(singles, indels, ref_seq, ref_len, pos1,
+                          snp_min_af, indel_min_af, counts, out, alt_info);
 }
 
 }  // namespace
@@ -248,14 +117,12 @@ int64_t nsp_count_rows(const char* buf, int64_t len) {
   while (p < end) {
     const char* nl = (const char*)memchr(p, '\n', end - p);
     if (!nl) { ++n; break; }
-    if (nl > p) ++n;   // skip empty lines
+    if (nl > p) ++n;
     p = nl + 1;
   }
   return n;
 }
 
-// Returns number of rows written (after bed filtering), or -(needed_alt_cap)
-// if alt_buf is too small.
 int64_t nsp_parse_mpileup(
     const char* buf, int64_t len,
     const char* ref_seq, int64_t ref_len,
@@ -265,7 +132,6 @@ int64_t nsp_parse_mpileup(
     int64_t* positions, int32_t* counts, int32_t* depths,
     uint8_t* is_candidate, double* afs,
     char* alt_buf, int64_t alt_cap, int64_t* alt_off) {
-  // index line starts
   std::vector<std::pair<const char*, const char*>> lines;
   {
     const char* p = buf;
@@ -290,9 +156,8 @@ int64_t nsp_parse_mpileup(
   for (int64_t r = 0; r < n; ++r) {
     const char* p = lines[r].first;
     const char* eol = lines[r].second;
-    // columns: chrom \t pos \t ref \t depth \t bases \t quals
     const char* t1 = (const char*)memchr(p, '\t', eol - p);
-    if (!t1) { keep[r] = 0; continue; }   // malformed row: skip
+    if (!t1) { keep[r] = 0; continue; }
     int64_t pos1 = 0;
     const char* q = t1 + 1;
     bool has_digit = false;
@@ -305,21 +170,20 @@ int64_t nsp_parse_mpileup(
       keep[r] = 0;
       continue;
     }
-    // skip to column 4 (bases)
     const char* c = q;
     for (int skip = 0; skip < 3 && c; ++skip) {
       c = (const char*)memchr(c, '\t', eol - c);
       if (c) ++c;
     }
-    if (!c) { keep[r] = 0; continue; }    // missing bases column: skip
+    if (!c) { keep[r] = 0; continue; }
     const char* bases = c;
     const char* bend = (const char*)memchr(bases, '\t', eol - bases);
     if (!bend) bend = eol;
 
-    int32_t* row_counts = counts + r * NUM_CH;
-    RowResult res;
+    int32_t* row_counts = counts + r * nsp::NUM_CH;
+    PosResult res;
     parse_row(bases, bend - bases, ref_seq, ref_len, pos1, snp_min_af,
-              indel_min_af, max_indel, row_counts, &res, true);
+              indel_min_af, max_indel, row_counts, &res, &alt_strs[r]);
 
     char ref_base = (pos1 - 1 < ref_len)
                         ? (char)std::toupper(ref_seq[pos1 - 1]) : 'N';
@@ -332,16 +196,15 @@ int64_t nsp_parse_mpileup(
         if (confident_mask[k]) { ok_bed = true; break; }
       }
     }
-    bool cand = ok_bed && T.nt4[(uint8_t)ref_base] < 4 && res.pass_af &&
-                res.depth >= min_coverage;
+    bool cand = ok_bed && nsp::tables().nt4[(uint8_t)ref_base] < 4 &&
+                res.pass_af && res.depth >= min_coverage;
     positions[r] = pos1;
     depths[r] = (int32_t)res.depth;
     afs[r] = res.af;
     is_candidate[r] = cand ? 1 : 0;
-    if (cand) alt_strs[r] = std::move(res.alt_info);
+    if (!cand) alt_strs[r].clear();
   }
 
-  // compact bed-dropped rows; pack alt strings
   int64_t w = 0;
   int64_t alt_used = 0;
   for (int64_t r = 0; r < n; ++r) {
@@ -351,8 +214,8 @@ int64_t nsp_parse_mpileup(
       depths[w] = depths[r];
       afs[w] = afs[r];
       is_candidate[w] = is_candidate[r];
-      std::memcpy(counts + w * NUM_CH, counts + r * NUM_CH,
-                  NUM_CH * sizeof(int32_t));
+      std::memcpy(counts + w * nsp::NUM_CH, counts + r * nsp::NUM_CH,
+                  nsp::NUM_CH * sizeof(int32_t));
     }
     int64_t sl = (int64_t)alt_strs[r].size();
     alt_off[2 * w] = alt_used;

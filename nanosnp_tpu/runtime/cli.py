@@ -140,11 +140,16 @@ def _run_call(args, cfg) -> int:
     shard_dir = os.path.join(args.output, "pileup_shards")
     pileup_vcf = os.path.join(args.output, "pileup.vcf")
 
+    def s1(**kw):
+        if args.bam:
+            # native path: direct BAM pileup, no samtools round trip
+            return stages.stage_pileup_features_from_bam(
+                cfg, ref, args.bam, shard_dir, contigs)
+        return stages.stage_pileup_features(
+            cfg, ref, _ensure_mpileup_dir(args, cfg), shard_dir, contigs)
+
     stage_list = [
-        Stage("s1_pileup_features",
-              lambda **kw: stages.stage_pileup_features(
-                  cfg, ref, _ensure_mpileup_dir(args, cfg), shard_dir, contigs),
-              "mpileup -> candidate windows"),
+        Stage("s1_pileup_features", s1, "BAM/mpileup -> candidate windows"),
         Stage("s2_pileup_predict",
               lambda **kw: stages.stage_pileup_predict(
                   cfg, ref, shard_dir, pileup_vcf,
@@ -152,20 +157,83 @@ def _run_call(args, cfg) -> int:
               "pileup model inference -> pileup.vcf"),
     ]
     if args.haplotype_model:
+        from . import external
+        from .extract import NativeBamExtractor
+
+        hap_shards = os.path.join(args.output, "haplotype_shards")
         hap_csv = os.path.join(args.output, "haplotype.csv")
         merge_vcf = os.path.join(args.output, "merge.vcf")
+        tag_dir_holder = {}
 
-        def s3456(**kw):
-            raise SystemExit(
-                "stages s3-s5 need haplotagged BAM access; run with external "
-                "tools available (samtools/whatshap) — see runtime/external.py")
+        def s3(**kw):
+            if not args.bam:
+                raise SystemExit("stages s3-s5 need --bam")
+            if not external.have("whatshap"):
+                # no phaser available: proceed unphased (HP tags absent ->
+                # every read lands in the 'unphased' feature group)
+                tag_dir_holder["paths"] = {c: args.bam for c in contigs}
+                return {"phased": 0, "note": "whatshap unavailable"}
+            from ..decode.sort import select_phasing_hetesnps
 
-        stage_list.append(Stage("s3_to_s5", s3456, "phasing + haplotype model"))
-        stage_list.append(
+            work = os.path.join(args.output, "phase_work")
+            os.makedirs(work, exist_ok=True)
+            with open(pileup_vcf) as f:
+                header, per_contig = select_phasing_hetesnps(
+                    f, cfg.haplotype_feature.phase_het_quality)
+            split_vcfs = {}
+            for ctg, rows in per_contig.items():
+                p = os.path.join(work, f"{ctg}.splited.vcf")
+                with open(p, "w") as f:
+                    f.writelines(header)
+                    f.writelines(rows)
+                split_vcfs[ctg] = p
+            split_bams = external.split_bam_by_contig(
+                args.bam, list(split_vcfs), os.path.join(work, "split_bams"),
+                threads=cfg.threads or 8)
+            tagged = external.phase_and_haplotag(
+                split_vcfs, split_bams, args.ref, work,
+                threads=cfg.threads or 8)
+            tag_dir_holder["paths"] = tagged
+            return {"phased": len(tagged)}
+
+        def s4(**kw):
+            paths = tag_dir_holder.get("paths")
+            if not paths:
+                # resumed run: pick up previously haplotagged BAMs if present
+                tag_dir = os.path.join(args.output, "phase_work",
+                                       "haplotag_out")
+                if os.path.isdir(tag_dir) and os.listdir(tag_dir):
+                    paths = {f[:-4]: os.path.join(tag_dir, f)
+                             for f in os.listdir(tag_dir)
+                             if f.endswith(".bam")}
+            if not paths:
+                paths = {c: args.bam for c in contigs}
+            extractor = NativeBamExtractor(
+                paths, cfg.haplotype_feature.max_coverage)
+            try:
+                return stages.stage_haplotype_features(
+                    cfg, ref, pileup_vcf, extractor, hap_shards)
+            finally:
+                extractor.close()
+
+        def s5(**kw):
+            from ..train.train_pileup import load_checkpoint
+
+            params, _ = load_checkpoint(args.haplotype_model)
+            return stages.stage_haplotype_predict(
+                cfg, ref, hap_shards, hap_csv, params)
+
+        stage_list += [
+            Stage("s3_phasing", s3, "whatshap phase + haplotag"),
+            Stage("s4_haplotype_features", s4,
+                  "group selection + read matrices"),
+            Stage("s5_haplotype_predict", s5,
+                  "haplotype model inference -> haplotype.csv"),
             Stage("s6_merge",
                   lambda **kw: stages.stage_merge(cfg, pileup_vcf, hap_csv,
                                                   merge_vcf),
-                  "merge calls"))
+                  "merge calls"),
+        ]
     runner.run(stage_list, resume=not args.no_resume)
     return 0
 

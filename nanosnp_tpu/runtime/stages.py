@@ -115,6 +115,98 @@ def stage_pileup_features(
             "rows_per_s": round(total_rows / dt, 1) if dt else 0}
 
 
+def stage_pileup_features_from_bam(
+    cfg: PipelineConfig,
+    ref: FastaReference,
+    bam_path: str,
+    out_dir: str,
+    contigs: Optional[Sequence[str]] = None,
+    chunk_size: int = 2_000_000,
+) -> Dict:
+    """s1 without samtools: direct BAM -> candidate windows -> shards.
+
+    Replaces the reference's mpileup-text round trip (make_predict_data.sh
+    steps 1-3) with chunked native pileup; chunks overlap by the window
+    flank so candidates near boundaries get full windows, and each
+    candidate is emitted by exactly one chunk (center within the chunk)."""
+    from ..io.bam import BamFile
+
+    os.makedirs(out_dir, exist_ok=True)
+    fc = cfg.pileup_feature
+    flank = fc.flanking_bases
+    total_rows = 0
+    total_cand = 0
+    t0 = time.monotonic()
+    with BamFile(bam_path) as bam:
+        bam_refs = dict(bam.references())
+        want = list(contigs) if contigs else sorted(
+            (n for n in bam_refs if n in ref.by_name), key=C.contig_sort_key)
+        for ctg in want:
+            if ctg not in bam_refs or ctg not in ref.by_name:
+                continue
+            seq = ref.contig(ctg)
+            length = len(seq)
+            mats, poss, refs33, alts, piles_rows = [], [], [], [], 0
+            for s in range(0, length, chunk_size):
+                e = min(s + chunk_size, length)
+                pile = bam.pileup_region(
+                    ctg, max(s - flank, 0), min(e + flank, length), seq,
+                    snp_min_af=fc.snp_min_af, indel_min_af=fc.indel_min_af,
+                    min_coverage=fc.min_depth, max_indel=fc.max_indel_size,
+                    min_mq=fc.mpileup_min_mq,
+                    excl_flags=fc.mpileup_excl_flags,
+                    max_depth=fc.mpileup_max_depth)
+                piles_rows += int(
+                    ((pile.positions > s) & (pile.positions <= e)).sum())
+                batch = assemble_windows(pile, seq, flank)
+                if len(batch) == 0:
+                    continue
+                inside = (batch.positions > s) & (batch.positions <= e)
+                if not inside.any():
+                    continue
+                mat, pos, r33 = predict_inputs(_slice_batch(batch, inside))
+                if len(pos) == 0:
+                    continue
+                alt_map = {int(p): a for p, a in
+                           zip(batch.positions, batch.alt_info)}
+                mats.append(mat)
+                poss.append(pos)
+                refs33.extend(r33)
+                alts.extend(alt_map[int(p)] for p in pos)
+            pos_all = (np.concatenate(poss) if poss
+                       else np.zeros(0, np.int64))
+            shard = bins.PileupShard(
+                contig=ctg,
+                positions=pos_all,
+                matrix=(np.concatenate(mats) if mats
+                        else np.zeros((0, 2 * flank + 1, 18), np.int32)),
+                ref_seqs=(np.asarray([r.encode() for r in refs33], dtype="S33")
+                          if refs33 else np.zeros(0, dtype="S33")),
+                alt_info=(np.asarray([a.encode() for a in alts], dtype="S")
+                          if alts else np.zeros(0, dtype="S")),
+            )
+            bins.save_pileup_shard(os.path.join(out_dir, f"{ctg}.npz"), shard)
+            total_rows += piles_rows
+            total_cand += len(pos_all)
+    dt = time.monotonic() - t0
+    return {"rows": total_rows, "candidates": total_cand,
+            "rows_per_s": round(total_rows / dt, 1) if dt else 0}
+
+
+def _slice_batch(batch, mask: np.ndarray):
+    from ..features.pileup import CandidateBatch
+
+    idx = np.flatnonzero(mask)
+    return CandidateBatch(
+        chrom=batch.chrom,
+        positions=batch.positions[idx],
+        matrix=batch.matrix[idx],
+        ref_seqs=[batch.ref_seqs[i] for i in idx],
+        alt_info=[batch.alt_info[i] for i in idx],
+        depths=batch.depths[idx],
+    )
+
+
 def stage_pileup_predict(
     cfg: PipelineConfig,
     ref: FastaReference,

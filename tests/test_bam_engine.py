@@ -1,0 +1,169 @@
+"""Differential tests for the native BAM engine.
+
+Oracle: the same synthetic read set rendered two independent ways —
+(a) Python mpileup-text simulation -> native text parser,
+(b) BGZF/BAM file -> native BAM engine —
+must produce identical per-position tensors, candidates and alt-info.
+"""
+import numpy as np
+import pytest
+
+from synth import random_genome
+from bamgen import Read, random_reads, simulate_mpileup, write_bam
+
+bam_mod = pytest.importorskip("nanosnp_tpu.io.bam")
+from nanosnp_tpu.io.bam import BamFile
+from nanosnp_tpu.io.native import parse_mpileup_native
+
+
+def _setup(tmp_path, seed, n_reads=80, length=800, with_hp=False):
+    rng = np.random.default_rng(seed)
+    genome = random_genome(rng, {"chrB": length})
+    seq = np.frombuffer(genome["chrB"].encode(), dtype=np.uint8).copy()
+    reads = random_reads(rng, genome["chrB"], 0, n_reads=n_reads,
+                         with_hp=with_hp)
+    bam_path = tmp_path / f"t{seed}.bam"
+    write_bam(str(bam_path), [("chrB", length)], reads)
+    return genome, seq, reads, str(bam_path)
+
+
+def _assert_same(got, want):
+    np.testing.assert_array_equal(got.positions, want.positions)
+    np.testing.assert_array_equal(got.depths, want.depths)
+    np.testing.assert_array_equal(got.counts, want.counts)
+    np.testing.assert_array_equal(got.is_candidate, want.is_candidate)
+    np.testing.assert_allclose(got.afs, want.afs, rtol=1e-12)
+    assert got.alt_info == want.alt_info
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_bam_pileup_matches_text_path(tmp_path, seed):
+    genome, seq, reads, bam_path = _setup(tmp_path, seed)
+    text_lines = simulate_mpileup(genome, {"chrB": reads})
+    want = parse_mpileup_native(("\n".join(text_lines) + "\n").encode(),
+                                "chrB", seq)
+    with BamFile(bam_path) as bam:
+        assert bam.references() == [("chrB", len(seq))]
+        got = bam.pileup_region("chrB", 0, len(seq), seq)
+    _assert_same(got, want)
+
+
+def test_bam_pileup_chunked_agrees_with_whole(tmp_path):
+    genome, seq, reads, bam_path = _setup(tmp_path, 21, n_reads=120,
+                                          length=1500)
+    with BamFile(bam_path) as bam:
+        whole = bam.pileup_region("chrB", 0, len(seq), seq)
+        parts = [bam.pileup_region("chrB", s, min(s + 400, len(seq)), seq)
+                 for s in range(0, len(seq), 400)]
+    got_pos = np.concatenate([p.positions for p in parts])
+    got_counts = np.concatenate([p.counts for p in parts]) if len(got_pos) else np.zeros((0, 18))
+    np.testing.assert_array_equal(got_pos, whole.positions)
+    np.testing.assert_array_equal(got_counts, whole.counts)
+    got_alt = sum((p.alt_info for p in parts), [])
+    assert got_alt == whole.alt_info
+
+
+def test_bam_pileup_depth_cap(tmp_path):
+    """Deep pile at one locus: per-column cap keeps first reads in BAM
+    order, matching the text simulation with the same cap."""
+    rng = np.random.default_rng(31)
+    genome = random_genome(rng, {"chrB": 300})
+    seq = np.frombuffer(genome["chrB"].encode(), dtype=np.uint8).copy()
+    reads = []
+    for i in range(200):  # 200 overlapping reads > 144 cap
+        start = int(rng.integers(90, 110))
+        ln = int(rng.integers(40, 80))
+        sub = genome["chrB"][start: start + ln]
+        reads.append(Read(
+            name=f"d{i}", ref_id=0, start0=start,
+            cigar=[("M", len(sub))], seq=sub.upper(),
+            quals=[30] * len(sub), mapq=60,
+            reverse=bool(rng.random() < 0.5)))
+    reads.sort(key=lambda r: r.start0)
+    bam_path = tmp_path / "deep.bam"
+    write_bam(str(bam_path), [("chrB", 300)], reads)
+
+    text_lines = simulate_mpileup(genome, {"chrB": reads})
+    want = parse_mpileup_native(("\n".join(text_lines) + "\n").encode(),
+                                "chrB", seq)
+    with BamFile(str(bam_path)) as bam:
+        got = bam.pileup_region("chrB", 0, len(seq), seq)
+    _assert_same(got, want)
+    assert got.depths.max() <= 144
+
+
+def test_read_matrices_against_python_oracle(tmp_path):
+    genome, seq, reads, bam_path = _setup(tmp_path, 41, n_reads=50,
+                                          length=600, with_hp=True)
+    rng = np.random.default_rng(5)
+    positions1 = np.sort(rng.choice(np.arange(100, 500), size=25,
+                                    replace=False)).astype(np.int64)
+
+    # python oracle mirroring create_pileup_haplotype.py:86-134 semantics
+    PYSAM_MASK = 1796
+    rows = {}
+    order = []
+    for ri, r in enumerate(reads):
+        if r.flag & PYSAM_MASK:
+            continue
+        base_row = np.zeros(len(positions1), np.int32)
+        bq_row = np.zeros(len(positions1), np.int32)
+        mq_row = np.zeros(len(positions1), np.int32)
+        covered_cols = []
+        rpos, qpos = r.start0, 0
+        b2i = {"A": 1, "C": 2, "G": 3, "T": 4}
+        for op, ln in r.cigar:
+            if op in "M=X":
+                for k in range(ln):
+                    p1 = rpos + k + 1
+                    idx = np.searchsorted(positions1, p1)
+                    if idx < len(positions1) and positions1[idx] == p1:
+                        b = r.seq[qpos + k].upper()
+                        if b in b2i:
+                            base_row[idx] = b2i[b]
+                            bq_row[idx] = r.quals[qpos + k]
+                            mq_row[idx] = r.mapq
+                            covered_cols.append(idx)
+                rpos += ln
+                qpos += ln
+            elif op == "D":
+                for k in range(ln):
+                    p1 = rpos + k + 1
+                    idx = np.searchsorted(positions1, p1)
+                    if idx < len(positions1) and positions1[idx] == p1:
+                        base_row[idx] = -1
+                        mq_row[idx] = r.mapq
+                        covered_cols.append(idx)
+                rpos += ln
+            elif op == "N":
+                rpos += ln
+            elif op in "IS":
+                qpos += ln
+        if covered_cols:
+            first = min(covered_cols)
+            rows[ri] = (base_row, bq_row, mq_row,
+                        r.hp if r.hp is not None else 3, first)
+            order.append(ri)
+    order.sort(key=lambda ri: rows[ri][4])  # stable by (first col, BAM order)
+
+    with BamFile(bam_path) as bam:
+        got = bam.read_matrices("chrB", positions1)
+    assert got is not None
+    assert got["sequences"].shape == (len(order), len(positions1))
+    for out_i, ri in enumerate(order):
+        base_row, bq_row, mq_row, hp, first = rows[ri]
+        np.testing.assert_array_equal(got["sequences"][out_i], base_row)
+        np.testing.assert_array_equal(got["baseq"][out_i], bq_row)
+        np.testing.assert_array_equal(got["mapq"][out_i], mq_row)
+        assert got["hap_tags"][out_i] == hp
+        assert got["first_col"][out_i] == first
+
+
+def test_read_matrices_empty_region(tmp_path):
+    genome, seq, reads, bam_path = _setup(tmp_path, 51, n_reads=5, length=500)
+    with BamFile(bam_path) as bam:
+        got = bam.read_matrices("chrB", np.array([499, 500], dtype=np.int64))
+    # likely nothing aligned at the last bases with only 5 reads; accept
+    # either None or valid shapes
+    if got is not None:
+        assert got["sequences"].shape[1] == 2

@@ -1,0 +1,127 @@
+"""Integration tests of the pipeline stages over synthetic data."""
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from synth import random_genome
+from bamgen import random_reads, simulate_mpileup, write_bam
+
+from nanosnp_tpu.config import PipelineConfig
+from nanosnp_tpu.io.fasta import FastaReference, write_fasta
+from nanosnp_tpu.io import bins
+from nanosnp_tpu.runtime import stages
+from nanosnp_tpu.runtime.extract import NativeBamExtractor
+from nanosnp_tpu.runtime.pipeline import PipelineRunner, Stage
+
+
+@pytest.fixture(scope="module")
+def synth_world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("world")
+    rng = np.random.default_rng(71)
+    genome = random_genome(rng, {"chrW": 3000})
+    fasta = tmp / "ref.fa"
+    write_fasta(str(fasta), genome)
+    reads = random_reads(rng, genome["chrW"], 0, n_reads=400, read_len=200,
+                         with_hp=True, mq_range=(10, 60))
+    bam = tmp / "sample.bam"
+    write_bam(str(bam), [("chrW", 3000)], reads)
+    mpileup_lines = simulate_mpileup(genome, {"chrW": reads})
+    mdir = tmp / "chr_mpileup"
+    mdir.mkdir()
+    (mdir / "chrW.mpileup").write_text("\n".join(mpileup_lines) + "\n")
+    return dict(tmp=tmp, genome=genome, fasta=str(fasta), bam=str(bam),
+                mdir=str(mdir), reads=reads)
+
+
+def test_s1_bam_matches_s1_text(synth_world, tmp_path):
+    cfg = PipelineConfig()
+    ref = FastaReference(synth_world["fasta"])
+    out_text = tmp_path / "shards_text"
+    out_bam = tmp_path / "shards_bam"
+    m1 = stages.stage_pileup_features(cfg, ref, synth_world["mdir"],
+                                      str(out_text), ["chrW"])
+    m2 = stages.stage_pileup_features_from_bam(cfg, ref, synth_world["bam"],
+                                               str(out_bam), ["chrW"],
+                                               chunk_size=700)
+    a = bins.load_pileup_shard(str(out_text / "chrW.npz"))
+    b = bins.load_pileup_shard(str(out_bam / "chrW.npz"))
+    np.testing.assert_array_equal(a.positions, b.positions)
+    np.testing.assert_array_equal(a.matrix, b.matrix)
+    np.testing.assert_array_equal(a.ref_seqs, b.ref_seqs)
+    np.testing.assert_array_equal(a.alt_info, b.alt_info)
+    assert m1["candidates"] == m2["candidates"]
+    assert len(a) > 0  # something must be produced for the test to mean much
+
+
+def test_full_native_pipeline_end_to_end(synth_world, tmp_path):
+    """BAM -> s1 -> s2 -> s4 -> s5 -> s6 entirely through native + JAX
+    components (phasing skipped: HP tags are already in the BAM)."""
+    import jax.numpy as jnp
+
+    from nanosnp_tpu.models.convert import load_pileup_checkpoint
+    from nanosnp_tpu.models.haplotype_model import init_haplotype_params
+
+    cfg = PipelineConfig()
+    cfg.inference.batch_size = 512
+    ref = FastaReference(synth_world["fasta"])
+    out = tmp_path / "run"
+    out.mkdir()
+    shards = out / "pileup_shards"
+
+    m1 = stages.stage_pileup_features_from_bam(cfg, ref, synth_world["bam"],
+                                               str(shards), ["chrW"])
+    assert m1["candidates"] > 0
+
+    params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(
+        "/root/reference/PileupModel/models/ont_pileup.chkpt"))
+    m2 = stages.stage_pileup_predict(cfg, ref, str(shards),
+                                     str(out / "pileup.vcf"), params=params)
+    assert m2["sites"] == m1["candidates"]
+    vcf_body = [l for l in open(out / "pileup.vcf") if not l.startswith("#")]
+    assert len(vcf_body) > 0
+
+    # lower the group-support bar so synthetic data forms groups
+    cfg.haplotype_feature.hete_support_quality = 2
+    cfg.haplotype_feature.low_quality_threshold = 25
+    extractor = NativeBamExtractor({"chrW": synth_world["bam"]})
+    m4 = stages.stage_haplotype_features(cfg, ref, str(out / "pileup.vcf"),
+                                         extractor, str(out / "hap_shards"))
+    extractor.close()
+
+    hap_params = init_haplotype_params(jax.random.key(0), cfg.haplotype_model)
+    m5 = stages.stage_haplotype_predict(cfg, ref, str(out / "hap_shards"),
+                                        str(out / "haplotype.csv"), hap_params)
+    m6 = stages.stage_merge(cfg, str(out / "pileup.vcf"),
+                            str(out / "haplotype.csv"),
+                            str(out / "merge.vcf"))
+    merged = [l for l in open(out / "merge.vcf") if not l.startswith("#")]
+    # merge output is a valid VCF whose rows parse
+    for l in merged:
+        f = l.split("\t")
+        assert len(f) == 10 and int(f[1]) > 0
+    if m4["groups"] > 0:
+        assert m5["sites"] == m4["groups"]
+        assert os.path.getsize(out / "haplotype.csv") > 0
+
+
+def test_runner_resume(tmp_path):
+    calls = []
+
+    def s_a(**kw):
+        calls.append("a")
+        return {"n": 1}
+
+    def s_b(**kw):
+        calls.append("b")
+
+    runner = PipelineRunner(str(tmp_path / "out"))
+    runner.run([Stage("a", s_a), Stage("b", s_b)])
+    assert calls == ["a", "b"]
+    runner2 = PipelineRunner(str(tmp_path / "out"))
+    runner2.run([Stage("a", s_a), Stage("b", s_b)])
+    assert calls == ["a", "b"]  # skipped on resume
+    runner2.reset(["b"])
+    runner2.run([Stage("a", s_a), Stage("b", s_b)])
+    assert calls == ["a", "b", "b"]
