@@ -1,0 +1,184 @@
+"""Training-data construction.
+
+Ports of the reference's train-data tooling:
+  - split_truth_vcf: truth VCF -> per-contig (pos, ref, alt, gt1, gt2) rows
+    with genotype normalization and '*'-allele fixing
+    (dna_sv_tensor/src/split_vcf/main.cpp:14-126);
+  - extend_bed_intervals: confident-BED extension + overlap merge
+    (extend_bed/main.cpp:8-36, BED_EXTENDED_BASES=31);
+  - build_pileup_train_arrays: joins candidate windows with truth labels
+    (90-dim), subsamples non-variants to <= ratio x variants
+    (make_train_data/main.cpp:129-185, default 5.0). The reference shuffles
+    within 10k-row streaming batches (main.cpp:349-355); we global-shuffle,
+    which strictly dominates;
+  - attach_haplotype_labels: candidate_labels [N,3] for haplotype training
+    bins (make_train_bins.py:123-127 via get_truth labeling).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import constants as C
+from ..features.pileup import CandidateBatch
+from . import labels as L
+
+
+@dataclass
+class TruthSite:
+    pos: int
+    ref: str
+    alt: str
+    gt1: int
+    gt2: int
+
+
+def _extract_genotype(gt_field: str) -> Tuple[int, int]:
+    gts = gt_field.split(":")[0].replace("/", "|").replace(".", "0")
+    a, b = gts.split("|")[:2]
+    t1, t2 = int(a), int(b)
+    return min(t1, t2), max(t1, t2)
+
+
+def split_truth_vcf(vcf_lines: Iterable[str]) -> Dict[str, List[TruthSite]]:
+    out: Dict[str, List[TruthSite]] = {}
+    for line in vcf_lines:
+        if not line.strip() or line[0] == "#":
+            continue
+        cols = line.strip().split("\t")
+        gt1, gt2 = _extract_genotype(cols[-1])
+        alt = cols[4]
+        if "*" in alt:
+            # only the 1|2 two-allele form with one '*' is fixable
+            # (split_vcf/main.cpp:28-49)
+            if gt1 + gt2 != 3 or alt.count(",") != 1:
+                continue
+            gt1, gt2 = 0, 1
+            alt = alt.replace("*", "")
+        out.setdefault(cols[0], []).append(
+            TruthSite(int(cols[1]), cols[3], alt, gt1, gt2))
+    return out
+
+
+def extend_bed_intervals(
+    intervals: Sequence[Tuple[str, int, int]],
+    extend: int = C.BED_EXTENDED_BASES,
+) -> List[Tuple[str, int, int]]:
+    by_ctg: Dict[str, List[Tuple[int, int]]] = {}
+    for ctg, s, e in intervals:
+        by_ctg.setdefault(ctg, []).append((max(s - extend, 0), e + extend))
+    out = []
+    for ctg, ivs in by_ctg.items():
+        ivs.sort()
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e = max(cur_e, e)
+            else:
+                out.append((ctg, cur_s, cur_e))
+                cur_s, cur_e = s, e
+        out.append((ctg, cur_s, cur_e))
+    return out
+
+
+@dataclass
+class PileupTrainArrays:
+    matrix: np.ndarray       # [N, 33, 18] int32
+    label: np.ndarray        # [N, 90] int32
+    positions: np.ndarray    # [N] int64
+    is_variant: np.ndarray   # [N] bool
+
+
+def build_pileup_train_arrays(
+    batch: CandidateBatch,
+    truth_sites: Sequence[TruthSite],
+    max_non_variant_ratio: float = 5.0,
+    rng: Optional[np.random.Generator] = None,
+    shuffle: bool = True,
+) -> PileupTrainArrays:
+    rng = rng or np.random.default_rng()
+    truth = {t.pos: t for t in truth_sites}
+
+    keep_idx: List[int] = []
+    refs: List[str] = []
+    for i, rs in enumerate(batch.ref_seqs):
+        center = rs[16].upper() if len(rs) > 16 else "N"
+        if center in "ACGT":
+            keep_idx.append(i)
+            refs.append(center)
+    keep = np.asarray(keep_idx, dtype=np.int64)
+    positions = batch.positions[keep]
+    is_var = np.asarray([int(p) in truth for p in positions], dtype=bool)
+
+    n_var = int(is_var.sum())
+    n_nonvar = int((~is_var).sum())
+    ratio = 1.0
+    max_nonvar = int(n_var * max_non_variant_ratio)
+    if max_nonvar < n_nonvar:
+        ratio = max_nonvar / n_nonvar if n_nonvar else 1.0
+    sel = is_var | (rng.random(len(positions)) < ratio)
+
+    keep = keep[sel]
+    positions = positions[sel]
+    is_var = is_var[sel]
+    refs = [refs[i] for i in np.flatnonzero(sel)]
+
+    label = np.zeros((len(positions), 90), dtype=np.int32)
+    for j, p in enumerate(positions):
+        t = truth.get(int(p))
+        if t is not None:
+            label[j] = L.y_label_from_truth(t.ref, t.alt, t.gt1, t.gt2)
+        else:
+            label[j] = L.y_label_from_reference(refs[j])
+
+    matrix = batch.matrix[keep]
+    if shuffle:
+        perm = rng.permutation(len(positions))
+        matrix = matrix[perm]
+        label = label[perm]
+        positions = positions[perm]
+        is_var = is_var[perm]
+    return PileupTrainArrays(matrix.astype(np.int32), label, positions, is_var)
+
+
+def decode_90dim_labels(label: np.ndarray) -> Dict[str, np.ndarray]:
+    """90-dim one-hots -> class-index arrays (as PileupModel/dataset.py:77-83)."""
+    return {
+        "gt": label[:, :21].argmax(1).astype(np.int32),
+        "zy": label[:, 21:24].argmax(1).astype(np.int32),
+        "indel1": label[:, 24:57].argmax(1).astype(np.int32),
+        "indel2": label[:, 57:90].argmax(1).astype(np.int32),
+    }
+
+
+def attach_haplotype_labels(
+    candidate_positions: np.ndarray,
+    truth_array: np.ndarray,   # [contig_len, 3] from labels.truth_arrays
+) -> np.ndarray:
+    """candidate_labels [N, 3] = (confident-flag, gt21, zygosity) at each
+    candidate (make_train_bins.py:123-127)."""
+    idx = candidate_positions.astype(np.int64) - 1
+    idx = np.clip(idx, 0, len(truth_array) - 1)
+    return truth_array[idx].astype(np.int64)
+
+
+def batch_iterator(
+    arrays: PileupTrainArrays,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    epochs: int = 1,
+    drop_last: bool = True,
+):
+    """Yields (x, gt, zy) minibatches for train_pileup."""
+    rng = rng or np.random.default_rng(0)
+    dec = decode_90dim_labels(arrays.label)
+    n = len(arrays.positions)
+    for _ in range(epochs):
+        perm = rng.permutation(n)
+        end = n - (n % batch_size) if drop_last else n
+        for s in range(0, end, batch_size):
+            idx = perm[s: s + batch_size]
+            yield (arrays.matrix[idx].astype(np.float32), dec["gt"][idx],
+                   dec["zy"][idx])

@@ -1,0 +1,103 @@
+"""Eval subsystem tests + an end-to-end accuracy check: planted variants ->
+full pileup stage with the production checkpoint -> F1 vs planted truth."""
+import numpy as np
+import pytest
+import jax
+
+from synth import random_genome
+from bamgen import random_reads, write_bam
+from test_training import _plant_variants
+
+from nanosnp_tpu.config import PipelineConfig
+from nanosnp_tpu.eval.diff import diff_vcfs
+from nanosnp_tpu.eval.f1 import evaluate_calls
+from nanosnp_tpu.io.fasta import FastaReference, write_fasta
+from nanosnp_tpu.runtime import stages
+
+HDR = "##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSample\n"
+
+
+def _row(ctg, pos, ref, alt, qual=30.0, filt="PASS", gt="0/1"):
+    return f"{ctg}\t{pos}\t.\t{ref}\t{alt}\t{qual}\t{filt}\t.\tGT:GQ:DP:AF\t{gt}:30:30:0.5\n"
+
+
+def test_f1_basics():
+    called = [HDR, _row("c", 10, "A", "C"), _row("c", 20, "G", "T", gt="1/1"),
+              _row("c", 30, "T", "A"),
+              _row("c", 40, "A", "A", filt="RefCall", gt="0/0")]
+    truth = [HDR, _row("c", 10, "A", "C"), _row("c", 20, "G", "T", gt="1/1"),
+             _row("c", 50, "C", "G")]
+    res = evaluate_calls(called, truth)
+    assert (res.tp, res.fp, res.fn) == (2, 1, 1)
+    assert 0 < res.f1 < 1
+
+    # genotype-aware: 0/1 vs 1/1 mismatch counts as fp+fn
+    called = [HDR, _row("c", 10, "A", "C", gt="1/1")]
+    truth = [HDR, _row("c", 10, "A", "C", gt="0/1")]
+    res = evaluate_calls(called, truth)
+    assert (res.tp, res.fp, res.fn) == (0, 1, 1)
+    res = evaluate_calls(called, truth, genotype_aware=False)
+    assert (res.tp, res.fp, res.fn) == (1, 0, 0)
+
+    # confident bed restriction
+    called = [HDR, _row("c", 10, "A", "C"), _row("c", 500, "G", "T")]
+    truth = [HDR, _row("c", 10, "A", "C")]
+    res = evaluate_calls(called, truth, confident_bed=[("c", 0, 100)])
+    assert (res.tp, res.fp, res.fn) == (1, 0, 0)
+
+
+def test_diff_vcfs():
+    a = [HDR, _row("c", 10, "A", "C"), _row("c", 20, "G", "T")]
+    b = [HDR, _row("c", 10, "A", "C"), _row("c", 30, "T", "A")]
+    d = diff_vcfs(a, b)
+    assert not d.identical
+    assert len(d.only_a) == 1 and len(d.only_b) == 1 and d.n_common == 1
+    d = diff_vcfs(a, a)
+    assert d.identical and d.n_common == 2
+
+    b2 = [HDR, _row("c", 10, "A", "G"), _row("c", 20, "G", "T")]
+    d = diff_vcfs(a, b2)
+    assert len(d.field_diffs) == 1 and "col4" in d.field_diffs[0][0]
+
+
+def test_end_to_end_f1_on_planted_variants(tmp_path):
+    """Clean 35x reads with planted SNVs -> s1(BAM) -> s2(production
+    checkpoint) -> merge-free F1. The model was trained on real ONT data;
+    on clean synthetic reads it must recover strong planted SNVs."""
+    import jax.numpy as jnp
+
+    from nanosnp_tpu.models.convert import load_pileup_checkpoint
+    from nanosnp_tpu.train.data import TruthSite
+
+    rng = np.random.default_rng(314)
+    genome = random_genome(rng, {"chrE": 8000})
+    # regenerate with low error rate reads for a cleaner signal
+    reads = random_reads(rng, genome["chrE"], 0, n_reads=1400, read_len=220,
+                         mq_range=(40, 60))
+    truth = _plant_variants(rng, genome["chrE"], reads, n_sites=30)
+
+    fasta = tmp_path / "ref.fa"
+    write_fasta(str(fasta), genome)
+    bam = tmp_path / "in.bam"
+    write_bam(str(bam), [("chrE", 8000)], reads)
+
+    cfg = PipelineConfig()
+    cfg.inference.batch_size = 1024
+    ref = FastaReference(str(fasta))
+    shards = tmp_path / "shards"
+    stages.stage_pileup_features_from_bam(cfg, ref, str(bam), str(shards),
+                                          ["chrE"])
+    params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(
+        "/root/reference/PileupModel/models/ont_pileup.chkpt"))
+    stages.stage_pileup_predict(cfg, ref, str(shards),
+                                str(tmp_path / "pileup.vcf"), params=params)
+
+    truth_vcf = [HDR] + [
+        _row("chrE", t.pos, t.ref, t.alt,
+             gt=("1/1" if t.gt1 == t.gt2 else "0/1"))
+        for t in truth]
+    with open(tmp_path / "pileup.vcf") as f:
+        res = evaluate_calls(f, truth_vcf, genotype_aware=False)
+    # recall is the important half here (candidate gen + model find the site)
+    assert res.recall > 0.8, res.summary()
+    assert res.f1 > 0.5, res.summary()

@@ -1,0 +1,127 @@
+"""Training-path tests: truth splitting, label joins, and a smoke training
+run on synthetic planted variants (loss decreases, accuracy beats chance)."""
+import numpy as np
+import pytest
+import jax
+
+from synth import random_genome
+from bamgen import random_reads, simulate_mpileup
+
+from nanosnp_tpu.config import PileupModelConfig, TrainConfig, PipelineConfig
+from nanosnp_tpu.features.pileup import assemble_windows, parse_mpileup_text
+from nanosnp_tpu.train import data as D
+from nanosnp_tpu.train.train_pileup import train_pileup
+
+
+def test_split_truth_vcf():
+    lines = [
+        "##x\n",
+        "chr1\t100\t.\tA\tC\t30\tPASS\t.\tGT\t0/1\n",
+        "chr1\t200\t.\tG\tT\t30\tPASS\t.\tGT\t1|1\n",
+        "chr1\t300\t.\tG\tT,*\t30\tPASS\t.\tGT\t1/2\n",   # fixable
+        "chr1\t400\t.\tG\tT,*,A\t30\tPASS\t.\tGT\t1/2\n", # not fixable
+        "chr2\t50\t.\tT\tA\t30\tPASS\t.\tGT\t./1\n",      # . -> 0
+    ]
+    got = D.split_truth_vcf(lines)
+    assert [t.pos for t in got["chr1"]] == [100, 200, 300]
+    t = got["chr1"][2]
+    assert (t.alt, t.gt1, t.gt2) == ("T,", 0, 1)
+    assert got["chr2"][0].gt1 == 0 and got["chr2"][0].gt2 == 1
+
+
+def test_extend_bed_merge():
+    got = D.extend_bed_intervals([("c", 100, 110), ("c", 150, 160),
+                                  ("c", 400, 410)], extend=31)
+    assert got == [("c", 69, 191), ("c", 369, 441)]
+
+
+def _plant_variants(rng, genome_seq, reads, n_sites=25):
+    """Plant strong het/hom SNVs into reads; returns truth rows."""
+    L = len(genome_seq)
+    sites = np.sort(rng.choice(np.arange(60, L - 60), size=n_sites,
+                               replace=False))
+    truth = []
+    for pos0 in sites:
+        ref = genome_seq[pos0].upper()
+        if ref not in "ACGT":
+            continue
+        alt = rng.choice([b for b in "ACGT" if b != ref])
+        hom = rng.random() < 0.4
+        truth.append(D.TruthSite(int(pos0) + 1, ref, alt,
+                                 1 if hom else 0, 1))
+        for r in reads:
+            # find query index aligned to pos0
+            rpos, qpos = r.start0, 0
+            qi = None
+            for op, ln in r.cigar:
+                if op in "M=X":
+                    if rpos <= pos0 < rpos + ln:
+                        qi = qpos + (pos0 - rpos)
+                        break
+                    rpos += ln
+                    qpos += ln
+                elif op in "DN":
+                    rpos += ln
+                elif op in "IS":
+                    qpos += ln
+            if qi is not None and (hom or rng.random() < 0.5):
+                r.seq = r.seq[:qi] + alt + r.seq[qi + 1:]
+    return truth
+
+
+def test_train_arrays_and_smoke_training(tmp_path):
+    rng = np.random.default_rng(90)
+    genome = random_genome(rng, {"chrT": 6000})
+    seq = np.frombuffer(genome["chrT"].encode(), dtype=np.uint8).copy()
+    reads = random_reads(rng, genome["chrT"], 0, n_reads=900, read_len=250,
+                         mq_range=(30, 60))
+    truth = _plant_variants(rng, genome["chrT"], reads, n_sites=40)
+    lines = simulate_mpileup(genome, {"chrT": reads})
+    pile = parse_mpileup_text(lines, "chrT", seq)
+    batch = assemble_windows(pile, seq)
+    assert len(batch) > 30
+
+    arrays = D.build_pileup_train_arrays(batch, truth, rng=rng)
+    n_var = arrays.is_variant.sum()
+    n_ref = (~arrays.is_variant).sum()
+    assert n_var > 10
+    assert n_ref <= 5 * n_var + 1  # subsample bound
+
+    dec = D.decode_90dim_labels(arrays.label)
+    # variant rows must not be labeled homo-ref
+    assert (dec["zy"][arrays.is_variant] != 0).all()
+    assert (dec["zy"][~arrays.is_variant] == 0).all()
+
+    # smoke training: a few steps on a small model must reduce loss
+    mcfg = PileupModelConfig(hidden_size=16, output_size=32, inner_size=32,
+                             n_layers=1, dropout=0.0)
+    tcfg = TrainConfig(batch_size=32, seed=1)
+    tcfg.optim.lr = 3e-3
+    tcfg.optim.type = "adam"
+
+    losses = []
+
+    def it():
+        for x, gt, zy in D.batch_iterator(arrays, 32, rng=rng, epochs=30):
+            yield x, gt, zy
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        state = train_pileup(it(), mcfg, tcfg, steps_per_epoch=10**9,
+                             out_dir=str(tmp_path), log_every=5,
+                             max_steps=60)
+    assert state.step == 60
+    logs = buf.getvalue().splitlines()
+    first = float(logs[0].split("loss ")[1].split()[0])
+    last = float(logs[-1].split("loss ")[1].split()[0])
+    assert last < first, (first, last)
+
+    # checkpoint round-trip
+    from nanosnp_tpu.train.train_pileup import load_checkpoint
+
+    params, blob = load_checkpoint(str(tmp_path / "last.ckpt"))
+    assert blob["step"] == 60
+    assert "encoder" in params
