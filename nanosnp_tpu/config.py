@@ -108,6 +108,11 @@ class TrainConfig:
 class InferenceConfig:
     batch_size: int = 8192          # device batch per step (static shape)
     use_bf16: bool = True           # bf16 matmuls on TPU; logits kept in f32
+    # Pallas fused-LSTM recurrence (TPU only; ~5x model throughput). "auto"
+    # enables it on TPU devices; bf16 inter-layer activations shift ~0.1%
+    # of argmax decisions vs the f32 scan path — set False for strict-parity
+    # runs.
+    use_pallas: str = "auto"        # "auto" | True | False
     # Replicate the reference decoder's gt_output[ti] indexing quirk
     # (PileupModel/predict.py:107,119,151,163) for bit-identical VCFs.
     bug_compat: bool = True

@@ -53,7 +53,8 @@ def init_bilstm_params(
     return layers
 
 
-def _bilstm_layer(layer: Params, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+def _bilstm_layer(layer: Params, x: jnp.ndarray, compute_dtype,
+                  use_pallas: bool = False) -> jnp.ndarray:
     """One bidirectional LSTM layer. x: [N, L, D] -> [N, L, 2H] (float32)."""
     n, seq_len, _ = x.shape
     hidden = layer["w_hh"].shape[1]
@@ -66,25 +67,30 @@ def _bilstm_layer(layer: Params, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
     xp = jnp.einsum("nld,zdk->znlk", x.astype(compute_dtype), w_ih,
                     preferred_element_type=jnp.float32)
     xp = xp + b[:, None, None, :]
-    # time-major for scan; reverse the backward direction's inputs
+    # time-major; reverse the backward direction's inputs
     xp = jnp.stack([xp[0].transpose(1, 0, 2), xp[1].transpose(1, 0, 2)[::-1]], axis=1)
     # xp: [L, 2, N, 4H]
 
-    h0 = jnp.zeros((2, n, hidden), jnp.float32)
-    c0 = jnp.zeros((2, n, hidden), jnp.float32)
+    if use_pallas:
+        from ..ops.pallas_lstm import bilstm_layer_pallas
 
-    def step(carry, xt):
-        h, c = carry
-        # [2, N, H] x [2, H, 4H] -> [2, N, 4H]
-        gates = xt + jnp.einsum(
-            "znh,zhk->znk", h.astype(compute_dtype), w_hh,
-            preferred_element_type=jnp.float32)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (h, c), h
+        hs = bilstm_layer_pallas(xp.astype(jnp.float32), w_hh)
+    else:
+        h0 = jnp.zeros((2, n, hidden), jnp.float32)
+        c0 = jnp.zeros((2, n, hidden), jnp.float32)
 
-    _, hs = jax.lax.scan(step, (h0, c0), xp)
+        def step(carry, xt):
+            h, c = carry
+            # [2, N, H] x [2, H, 4H] -> [2, N, 4H]
+            gates = xt + jnp.einsum(
+                "znh,zhk->znk", h.astype(compute_dtype), w_hh,
+                preferred_element_type=jnp.float32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        _, hs = jax.lax.scan(step, (h0, c0), xp)
     # hs: [L, 2, N, H]; un-reverse the backward outputs and concat directions
     fwd = hs[:, 0].transpose(1, 0, 2)          # [N, L, H]
     bwd = hs[::-1, 1].transpose(1, 0, 2)       # [N, L, H]
@@ -98,17 +104,19 @@ def bilstm_encoder(
     dropout: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Multi-layer BiLSTM. x: [N, L, D] -> [N, L, 2H].
 
     Dropout applies between layers (not after the last), matching
     torch.nn.LSTM(dropout=...) semantics; active only when a dropout_rng is
-    passed (training).
+    passed (training). use_pallas switches the recurrence to the fused
+    Pallas kernel (TPU inference path).
     """
     out = x
     n_layers = len(layers)
     for idx, layer in enumerate(layers):
-        out = _bilstm_layer(layer, out, compute_dtype)
+        out = _bilstm_layer(layer, out, compute_dtype, use_pallas=use_pallas)
         if dropout > 0.0 and dropout_rng is not None and idx < n_layers - 1:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - dropout

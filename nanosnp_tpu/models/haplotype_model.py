@@ -45,18 +45,29 @@ def haplotype_forward(
     *,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
 ):
     rng_p = rng_h = None
     if dropout_rng is not None:
         rng_p, rng_h = jax.random.split(dropout_rng)
-    enc_p = bilstm_encoder(params["pileup_encoder"], pileup_x,
-                           dropout=cfg.dropout, dropout_rng=rng_p,
-                           compute_dtype=compute_dtype)
-    enc_h = bilstm_encoder(params["haplotype_encoder"], haplotype_x,
-                           dropout=cfg.dropout, dropout_rng=rng_h,
-                           compute_dtype=compute_dtype)
-    ctr_p = linear(params["pileup_proj"], enc_p[:, cfg.pileup_length // 2, :], compute_dtype)
-    ctr_h = linear(params["haplotype_proj"], enc_h[:, cfg.haplotype_length // 2, :], compute_dtype)
+    if use_pallas and dropout_rng is None:
+        from ..ops.pallas_lstm import bilstm_encoder_pallas
+
+        ctr_p_enc = bilstm_encoder_pallas(params["pileup_encoder"], pileup_x,
+                                          center_only=True)
+        ctr_h_enc = bilstm_encoder_pallas(params["haplotype_encoder"],
+                                          haplotype_x, center_only=True)
+    else:
+        enc_p = bilstm_encoder(params["pileup_encoder"], pileup_x,
+                               dropout=cfg.dropout, dropout_rng=rng_p,
+                               compute_dtype=compute_dtype)
+        enc_h = bilstm_encoder(params["haplotype_encoder"], haplotype_x,
+                               dropout=cfg.dropout, dropout_rng=rng_h,
+                               compute_dtype=compute_dtype)
+        ctr_p_enc = enc_p[:, cfg.pileup_length // 2, :]
+        ctr_h_enc = enc_h[:, cfg.haplotype_length // 2, :]
+    ctr_p = linear(params["pileup_proj"], ctr_p_enc, compute_dtype)
+    ctr_h = linear(params["haplotype_proj"], ctr_h_enc, compute_dtype)
     feat = jnp.concatenate([ctr_p, ctr_h], axis=-1)            # [N, 512]
     feat = jnp.tanh(linear(params["dense"], feat, compute_dtype))  # [N, 256]
     gt = linear(params["gt"], feat, compute_dtype)
@@ -65,9 +76,10 @@ def haplotype_forward(
 
 
 def haplotype_predict(params: Params, pileup_x, haplotype_x, cfg: HaplotypeModelConfig,
-                      compute_dtype=jnp.float32):
+                      compute_dtype=jnp.float32, use_pallas: bool = False):
     gt, zy = haplotype_forward(params, pileup_x, haplotype_x, cfg,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               use_pallas=use_pallas)
     return jax.nn.softmax(gt, axis=-1), jax.nn.softmax(zy, axis=-1)
 
 

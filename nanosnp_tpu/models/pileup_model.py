@@ -42,15 +42,23 @@ def pileup_forward(
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     all_heads: bool = True,
+    use_pallas: bool = False,
 ):
     """x: [N, 33, 18] float. Returns (gt, zy, id1, id2) logits (id* None if
     all_heads=False)."""
     center = cfg.seq_len // 2
-    enc = bilstm_encoder(
-        params["encoder"], x,
-        dropout=cfg.dropout, dropout_rng=dropout_rng, compute_dtype=compute_dtype,
-    )                                                    # [N, L, 2H]
-    ctr = enc[:, center, :]                              # [N, 2H]
+    if use_pallas and dropout_rng is None:
+        from ..ops.pallas_lstm import bilstm_encoder_pallas
+
+        ctr = bilstm_encoder_pallas(params["encoder"], x,
+                                    center_only=True)    # [N, 2H]
+    else:
+        enc = bilstm_encoder(
+            params["encoder"], x,
+            dropout=cfg.dropout, dropout_rng=dropout_rng,
+            compute_dtype=compute_dtype,
+        )                                                # [N, L, 2H]
+        ctr = enc[:, center, :]                          # [N, 2H]
     feat = linear(params["proj"], ctr, compute_dtype)    # [N, 128]
     feat = jnp.tanh(linear(params["dense"], feat, compute_dtype))  # [N, 256]
     gt = linear(params["gt"], feat, compute_dtype)
@@ -63,11 +71,11 @@ def pileup_forward(
 
 
 def pileup_predict(params: Params, x: jnp.ndarray, cfg: PileupModelConfig,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, use_pallas: bool = False):
     """Inference: softmaxed gt/zy probabilities, matching reference
     model.predict (PileupModel/model.py:114-119)."""
     gt, zy, _, _ = pileup_forward(params, x, cfg, compute_dtype=compute_dtype,
-                                  all_heads=False)
+                                  all_heads=False, use_pallas=use_pallas)
     return jax.nn.softmax(gt, axis=-1), jax.nn.softmax(zy, axis=-1)
 
 

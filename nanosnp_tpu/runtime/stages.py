@@ -227,10 +227,12 @@ def stage_pileup_predict(
         params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(model_path))
     mcfg = cfg.pileup_model
     compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
+    use_pallas = _resolve_use_pallas(cfg)
 
     def fn(p, x):
         return pileup_predict(p, x.astype(jnp.float32), mcfg,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              use_pallas=use_pallas)
 
     predictor = BatchedPredictor(fn, params, batch_size=cfg.inference.batch_size)
 
@@ -251,6 +253,15 @@ def stage_pileup_predict(
             n_sites += len(shard)
     dt = time.monotonic() - t0
     return {"sites": n_sites, "sites_per_s": round(n_sites / dt, 1) if dt else 0}
+
+
+def _resolve_use_pallas(cfg: PipelineConfig) -> bool:
+    v = cfg.inference.use_pallas
+    if v == "auto":
+        from ..ops.pallas_lstm import pallas_supported
+
+        return pallas_supported()
+    return bool(v)
 
 
 # Signature: (contig, sub_groups [G,11] positions, pileup window flank)
@@ -349,11 +360,13 @@ def stage_haplotype_predict(
 
     hcfg = cfg.haplotype_model
     compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
+    use_pallas = _resolve_use_pallas(cfg)
 
     def fn(p, seq_p, bq_p, mq_p, hap_p, ref_p, seq_h, bq_h, mq_h, hap_h, ref_h):
         xp = haplotype_features(seq_p, bq_p, mq_p, hap_p, ref_p)
         xh = haplotype_features(seq_h, bq_h, mq_h, hap_h, ref_h)
-        return haplotype_predict(p, xp, xh, hcfg, compute_dtype=compute_dtype)
+        return haplotype_predict(p, xp, xh, hcfg, compute_dtype=compute_dtype,
+                                 use_pallas=use_pallas)
 
     # depth is ragged across shards: pad to buckets so jit compiles once per
     # bucket pair (the jit cache keys on shapes)

@@ -25,7 +25,7 @@ from ..models.haplotype_model import haplotype_forward, init_haplotype_params
 from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .losses import label_smoothing_loss
 from .optim import build_optimizer, wrap_params_for_lookahead
-from .train_pileup import TrainState, _fast, save_checkpoint
+from .train_pileup import TrainState, _fast, resume_state, save_checkpoint
 
 
 def make_haplotype_train_step(mcfg: HaplotypeModelConfig, tcfg: TrainConfig,
@@ -73,6 +73,7 @@ def train_haplotype(
     mesh=None,
     log_every: int = 50,
     max_steps: Optional[int] = None,
+    resume_from: Optional[str] = None,
 ) -> TrainState:
     """Loop over batches: dicts with p_/h_ read-matrix arrays + gt/zy labels."""
     os.makedirs(out_dir, exist_ok=True)
@@ -87,12 +88,18 @@ def train_haplotype(
     if tcfg.optim.type.lower().startswith("lookahead"):
         params = wrap_params_for_lookahead(params, True)
     opt_state = tx.init(params)
+    if resume_from:
+        restored = resume_state(resume_from)
+        params, opt_state = restored.params, restored.opt_state
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
     step_fn = jax.jit(make_haplotype_train_step(mcfg, tcfg, tx),
                       donate_argnums=(0, 1))
     state = TrainState(params, opt_state)
+    if resume_from:
+        state.step = restored.step
+        state.epoch = restored.epoch
     t0 = time.monotonic()
     for batch in data_iter:
         device_batch = {
@@ -115,5 +122,6 @@ def train_haplotype(
                             state)
         if max_steps and state.step >= max_steps:
             break
-    save_checkpoint(os.path.join(out_dir, "last.ckpt"), state)
+    save_checkpoint(os.path.join(out_dir, "last.ckpt"), state,
+                    include_optimizer=True)
     return state

@@ -77,6 +77,7 @@ def train_pileup(
     mesh=None,
     log_every: int = 50,
     max_steps: Optional[int] = None,
+    resume_from: Optional[str] = None,
 ) -> TrainState:
     """Generic loop over an iterator yielding (x [B,33,18], gt [B], zy [B])."""
     os.makedirs(out_dir, exist_ok=True)
@@ -92,12 +93,18 @@ def train_pileup(
     if is_lookahead:
         params = wrap_params_for_lookahead(params, True)
     opt_state = tx.init(params)
+    if resume_from:
+        restored = resume_state(resume_from)
+        params, opt_state = restored.params, restored.opt_state
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
     step_fn = jax.jit(make_pileup_train_step(mcfg, tcfg, tx), donate_argnums=(0, 1))
 
     state = TrainState(params, opt_state)
+    if resume_from:
+        state.step = restored.step
+        state.epoch = restored.epoch
     t0 = time.monotonic()
     for x, gt_t, zy_t in data_iter:
         xb = jax.device_put(jnp.asarray(x, jnp.float32), data_sh)
@@ -118,19 +125,42 @@ def train_pileup(
                             state)
         if max_steps and state.step >= max_steps:
             break
-    save_checkpoint(os.path.join(out_dir, "last.ckpt"), state)
+    save_checkpoint(os.path.join(out_dir, "last.ckpt"), state,
+                    include_optimizer=True)
     return state
 
 
-def save_checkpoint(path: str, state: TrainState) -> None:
+def save_checkpoint(path: str, state: TrainState,
+                    include_optimizer: bool = False) -> None:
+    """Inference checkpoints store fast params only; pass
+    include_optimizer=True for resumable training state (the reference's
+    continue-mode dict of encoder/forward_layer/optimizer/epoch/step,
+    PileupModel/utils.py:67-77)."""
     params = _fast(state.params)
-    host = jax.tree.map(np.asarray, params)
+    blob = {"params": jax.tree.map(np.asarray, params),
+            "step": state.step, "epoch": state.epoch}
+    if include_optimizer:
+        blob["full_params"] = jax.tree.map(np.asarray, state.params)
+        blob["opt_state"] = jax.tree.map(np.asarray, state.opt_state)
     with open(path, "wb") as f:
-        pickle.dump({"params": host, "step": state.step,
-                     "epoch": state.epoch}, f)
+        pickle.dump(blob, f)
 
 
 def load_checkpoint(path: str):
     with open(path, "rb") as f:
         blob = pickle.load(f)
     return jax.tree.map(jnp.asarray, blob["params"]), blob
+
+
+def resume_state(path: str) -> TrainState:
+    """Restore a full training state saved with include_optimizer=True."""
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if "opt_state" not in blob:
+        raise ValueError(f"{path} was saved without optimizer state")
+    return TrainState(
+        params=jax.tree.map(jnp.asarray, blob["full_params"]),
+        opt_state=jax.tree.map(jnp.asarray, blob["opt_state"]),
+        step=blob["step"],
+        epoch=blob["epoch"],
+    )
