@@ -141,14 +141,20 @@ def stage_pileup_features_from_bam(
         bam_refs = dict(bam.references())
         want = list(contigs) if contigs else sorted(
             (n for n in bam_refs if n in ref.by_name), key=C.contig_sort_key)
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_workers = max(cfg.threads or (os.cpu_count() or 4), 1)
         for ctg in want:
             if ctg not in bam_refs or ctg not in ref.by_name:
                 continue
             seq = ref.contig(ctg)
             length = len(seq)
             mats, poss, refs33, alts, piles_rows = [], [], [], [], 0
-            for s in range(0, length, chunk_size):
+
+            def one_chunk(s):
                 e = min(s + chunk_size, length)
+                # the native region call releases the GIL; the open handle
+                # is read-only after indexing, so chunks run in parallel
                 pile = bam.pileup_region(
                     ctg, max(s - flank, 0), min(e + flank, length), seq,
                     snp_min_af=fc.snp_min_af, indel_min_af=fc.indel_min_af,
@@ -156,23 +162,32 @@ def stage_pileup_features_from_bam(
                     min_mq=fc.mpileup_min_mq,
                     excl_flags=fc.mpileup_excl_flags,
                     max_depth=fc.mpileup_max_depth)
-                piles_rows += int(
-                    ((pile.positions > s) & (pile.positions <= e)).sum())
+                rows = int(((pile.positions > s) & (pile.positions <= e)).sum())
                 batch = assemble_windows(pile, seq, flank)
                 if len(batch) == 0:
-                    continue
+                    return rows, None
                 inside = (batch.positions > s) & (batch.positions <= e)
                 if not inside.any():
-                    continue
+                    return rows, None
                 mat, pos, r33 = predict_inputs(_slice_batch(batch, inside))
                 if len(pos) == 0:
-                    continue
+                    return rows, None
                 alt_map = {int(p): a for p, a in
                            zip(batch.positions, batch.alt_info)}
-                mats.append(mat)
-                poss.append(pos)
-                refs33.extend(r33)
-                alts.extend(alt_map[int(p)] for p in pos)
+                return rows, (mat, pos, r33,
+                              [alt_map[int(p)] for p in pos])
+
+            starts = list(range(0, length, chunk_size))
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                for rows, payload in ex.map(one_chunk, starts):
+                    piles_rows += rows
+                    if payload is None:
+                        continue
+                    mat, pos, r33, alt_list = payload
+                    mats.append(mat)
+                    poss.append(pos)
+                    refs33.extend(r33)
+                    alts.extend(alt_list)
             pos_all = (np.concatenate(poss) if poss
                        else np.zeros(0, np.int64))
             shard = bins.PileupShard(

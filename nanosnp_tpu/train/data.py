@@ -182,3 +182,94 @@ def batch_iterator(
             idx = perm[s: s + batch_size]
             yield (arrays.matrix[idx].astype(np.float32), dec["gt"][idx],
                    dec["zy"][idx])
+
+
+def save_train_arrays(path: str, arrays: PileupTrainArrays) -> None:
+    np.savez_compressed(path, matrix=arrays.matrix, label=arrays.label,
+                        positions=arrays.positions,
+                        is_variant=arrays.is_variant)
+
+
+def load_train_arrays(path: str) -> PileupTrainArrays:
+    z = np.load(path)
+    return PileupTrainArrays(z["matrix"], z["label"], z["positions"],
+                             z["is_variant"])
+
+
+def haplotype_train_iterator(
+    shard_paths: Sequence[str],
+    labels_by_contig: Dict[str, np.ndarray],   # labels.truth_arrays output
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    epochs: int = 1,
+    pn_value: float = 0.7,
+):
+    """Batches for train_haplotype from haplotype shards + truth arrays.
+
+    Mirrors the reference TrainingDataset sampling (dataset_dev.py:190-283):
+    keep confident sites with -1 <= zy < 10 and gt < 10; mix refcalls and
+    variants at pn_value (variants / refcalls); refcall zy of -1 trains as
+    class 0. Featurization happens on device inside the train step, so
+    batches carry the raw read matrices.
+    """
+    from ..io import bins as _bins
+    from ..features.haplotype import ref_position_codes, ref_window_codes
+    from .. import constants as _C
+
+    rng = rng or np.random.default_rng(0)
+    for _ in range(epochs):
+        for path in shard_paths:
+            shard = _bins.load_haplotype_shard(path)
+            if len(shard) == 0 or shard.contig not in labels_by_contig:
+                continue
+            lab = attach_haplotype_labels(shard.candidate_positions,
+                                          labels_by_contig[shard.contig])
+            cf, gt, zy = lab[:, 0], lab[:, 1], lab[:, 2]
+            valid = (cf == 1) & (zy >= -1) & (zy < 10) & (gt < 10)
+            ref_idx = np.flatnonzero(valid & (zy == -1))
+            var_idx = np.flatnonzero(valid & (zy > 0))
+            n_ref_keep = int(len(var_idx) / pn_value) if pn_value > 0 else len(ref_idx)
+            if len(ref_idx) > n_ref_keep:
+                ref_idx = rng.choice(ref_idx, size=n_ref_keep, replace=False)
+            sel = np.concatenate([ref_idx, var_idx])
+            if len(sel) == 0:
+                continue
+            rng.shuffle(sel)
+            for s in range(0, len(sel) - batch_size + 1, batch_size):
+                idx = sel[s: s + batch_size]
+                yield {
+                    "p_seq": shard.pileup["sequences"][idx].astype(np.float32),
+                    "p_baseq": shard.pileup["baseq"][idx].astype(np.float32),
+                    "p_mapq": shard.pileup["mapq"][idx].astype(np.float32),
+                    "p_hap": shard.pileup["hap"][idx].astype(np.float32),
+                    "p_ref": _ref_codes_for(shard, idx, _C.FLANKING_BASES,
+                                            "pileup"),
+                    "h_seq": shard.haplotype["sequences"][idx].astype(np.float32),
+                    "h_baseq": shard.haplotype["baseq"][idx].astype(np.float32),
+                    "h_mapq": shard.haplotype["mapq"][idx].astype(np.float32),
+                    "h_hap": shard.haplotype["hap"][idx].astype(np.float32),
+                    "h_ref": _ref_codes_for(shard, idx, None, "haplotype"),
+                    "gt": gt[idx].astype(np.int32),
+                    "zy": np.where(zy[idx] >= 0, zy[idx], 0).astype(np.int32),
+                }
+
+
+_REF_SEQS: Dict[str, np.ndarray] = {}
+
+
+def set_reference_for_training(contig_seqs: Dict[str, np.ndarray]) -> None:
+    """Register contig sequences used by haplotype_train_iterator."""
+    _REF_SEQS.clear()
+    _REF_SEQS.update(contig_seqs)
+
+
+def _ref_codes_for(shard, idx, flank, view):
+    from ..features.haplotype import ref_position_codes, ref_window_codes
+
+    seq = _REF_SEQS.get(shard.contig)
+    if seq is None:
+        L = 2 * C.FLANKING_BASES + 1 if view == "pileup" else C.HAPLOTYPE_WINDOW
+        return np.zeros((len(idx), L), dtype=np.float32)
+    if view == "pileup":
+        return ref_window_codes(seq, shard.candidate_positions[idx], flank)
+    return ref_position_codes(seq, shard.group_positions[idx])
