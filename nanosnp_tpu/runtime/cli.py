@@ -65,6 +65,34 @@ def main(argv=None):
     p.add_argument("--input", "-i", required=True)
     p.add_argument("--output", "-o", required=True)
 
+    p = sub.add_parser("make-train-data",
+                       help="labeled pileup training arrays from BAM + truth")
+    _add_common(p)
+    p.add_argument("--bam", required=True)
+    p.add_argument("--ref", required=True)
+    p.add_argument("--truth-vcf", required=True)
+    p.add_argument("--bed", default=None, help="confident regions BED")
+    p.add_argument("--contigs", nargs="*", default=None)
+    p.add_argument("--max-nonvariant-ratio", type=float, default=5.0)
+
+    p = sub.add_parser("train-pileup")
+    _add_common(p)
+    p.add_argument("--data", required=True, help="dir of labeled .npz arrays")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--resume", default=None)
+
+    p = sub.add_parser("train-haplotype")
+    _add_common(p)
+    p.add_argument("--shards", required=True, help="haplotype shard dir")
+    p.add_argument("--ref", required=True)
+    p.add_argument("--truth-vcf", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--pn-value", type=float, default=0.7)
+    p.add_argument("--resume", default=None)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "sort-vcf":
@@ -104,10 +132,138 @@ def main(argv=None):
         print(m)
         return 0
 
+    if args.cmd == "make-train-data":
+        return _run_make_train_data(args, cfg)
+    if args.cmd == "train-pileup":
+        return _run_train_pileup(args, cfg)
+    if args.cmd == "train-haplotype":
+        return _run_train_haplotype(args, cfg)
     if args.cmd == "call":
         return _run_call(args, cfg)
 
     return 1
+
+
+def _run_make_train_data(args, cfg) -> int:
+    import numpy as np
+
+    from ..io.bam import BamFile
+    from ..features.pileup import CandidateBatch, assemble_windows
+    from ..train import data as D
+
+    ref = FastaReference(args.ref)
+    with open(args.truth_vcf) as f:
+        truth = D.split_truth_vcf(f)
+    bed_masks = None
+    if args.bed:
+        with open(args.bed) as f:
+            intervals = D.extend_bed_intervals(
+                [(c, int(s), int(e)) for c, s, e, *_ in
+                 (l.split("\t") for l in f if l.strip())])
+        bed_masks = {}
+        for ctg, s, e in intervals:
+            if ctg not in bed_masks and ctg in ref.by_name:
+                bed_masks[ctg] = np.zeros(ref.length(ctg), dtype=bool)
+            if ctg in bed_masks:
+                bed_masks[ctg][s:e] = True
+    rng = np.random.default_rng(cfg.train.seed)
+    fc = cfg.pileup_feature
+    out_dir = os.path.join(args.output, "train_data")
+    os.makedirs(out_dir, exist_ok=True)
+    total = {"sites": 0, "variants": 0}
+    with BamFile(args.bam) as bam:
+        contigs = args.contigs or [c for c, _ in bam.references()
+                                   if c in ref.by_name]
+        for ctg in contigs:
+            seq = ref.contig(ctg)
+            pile = bam.pileup_region(
+                ctg, 0, len(seq), seq,
+                snp_min_af=fc.snp_min_af, indel_min_af=fc.indel_min_af,
+                min_coverage=fc.min_depth, max_indel=fc.max_indel_size,
+                min_mq=fc.mpileup_min_mq, excl_flags=fc.mpileup_excl_flags,
+                max_depth=fc.mpileup_max_depth)
+            if bed_masks is not None and ctg in bed_masks:
+                keep = bed_masks[ctg][pile.positions - 1]
+                pile.positions = pile.positions[keep]
+                pile.counts = pile.counts[keep]
+                pile.depths = pile.depths[keep]
+                pile.is_candidate = pile.is_candidate[keep]
+                pile.afs = pile.afs[keep]
+                pile.alt_info = [a for a, k in zip(pile.alt_info, keep) if k]
+            batch = assemble_windows(pile, seq, fc.flanking_bases)
+            arrays = D.build_pileup_train_arrays(
+                batch, truth.get(ctg, []), args.max_nonvariant_ratio, rng)
+            D.save_train_arrays(os.path.join(out_dir, f"{ctg}.npz"), arrays)
+            total["sites"] += len(arrays.positions)
+            total["variants"] += int(arrays.is_variant.sum())
+    print(total)
+    return 0
+
+
+def _run_train_pileup(args, cfg) -> int:
+    import numpy as np
+
+    from ..io.bins import list_shards
+    from ..train import data as D
+    from ..train.train_pileup import train_pileup
+
+    paths = list_shards(args.data)
+    arrays = [D.load_train_arrays(p) for p in paths]
+    merged = D.PileupTrainArrays(
+        np.concatenate([a.matrix for a in arrays]),
+        np.concatenate([a.label for a in arrays]),
+        np.concatenate([a.positions for a in arrays]),
+        np.concatenate([a.is_variant for a in arrays]),
+    )
+    tcfg = cfg.train
+    if args.batch_size:
+        tcfg.batch_size = args.batch_size
+    epochs = args.epochs or tcfg.epochs
+    steps_per_epoch = max(len(merged.positions) // tcfg.batch_size, 1)
+    rng = np.random.default_rng(tcfg.seed)
+    state = train_pileup(
+        D.batch_iterator(merged, tcfg.batch_size, rng, epochs=epochs),
+        cfg.pileup_model, tcfg, steps_per_epoch,
+        os.path.join(args.output, "pileup_train"),
+        resume_from=args.resume)
+    print({"steps": state.step, "epochs": state.epoch})
+    return 0
+
+
+def _run_train_haplotype(args, cfg) -> int:
+    import numpy as np
+
+    from ..io.bins import list_shards
+    from ..train import data as D
+    from ..train import labels as L
+    from ..train.train_haplotype import train_haplotype
+
+    ref = FastaReference(args.ref)
+    seqs = {name: ref.contig(name) for name in ref.names}
+    with open(args.bed) as f:
+        bed = L.parse_bed(f)
+    with open(args.truth_vcf) as f:
+        truth_arrays = L.truth_arrays(
+            {n: ref.length(n) for n in ref.names}, seqs, bed, f)
+    D.set_reference_for_training(seqs)
+
+    tcfg = cfg.train
+    tcfg.batch_size = args.batch_size
+    epochs = args.epochs or 30
+    paths = list_shards(args.shards)
+    rng = np.random.default_rng(tcfg.seed)
+    # one counting pass for steps_per_epoch
+    n_batches = sum(1 for _ in D.haplotype_train_iterator(
+        paths, truth_arrays, tcfg.batch_size, np.random.default_rng(0),
+        epochs=1, pn_value=args.pn_value))
+    state = train_haplotype(
+        D.haplotype_train_iterator(paths, truth_arrays, tcfg.batch_size, rng,
+                                   epochs=epochs, pn_value=args.pn_value),
+        cfg.haplotype_model, tcfg, max(n_batches, 1),
+        os.path.join(args.output, "haplotype_train"),
+        resume_from=args.resume)
+    print({"steps": state.step, "epochs": state.epoch})
+    return 0
 
 
 def _ensure_mpileup_dir(args, cfg) -> str:
