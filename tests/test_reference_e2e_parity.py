@@ -76,7 +76,7 @@ def parity_world(tmp_path_factory):
     write_fasta(str(fasta), genome)
     reads = random_reads(rng, genome["chr20"], 0, n_reads=900, read_len=220,
                          mq_range=(25, 60))
-    _plant_variants(rng, genome["chr20"], reads, n_sites=30)
+    _plant_variants(rng, genome["chr20"], reads, n_sites=130)
     bam = tmp / "in.bam"
     write_bam(str(bam), [("chr20", 6000)], reads)
 
@@ -288,3 +288,122 @@ def test_phasing_selector_matches_reference(tmp_path):
             continue
         ours = "".join(header) + "".join(per_contig.get(ctg, []))
         assert ours == want_path.read_text()
+
+
+def test_haplotype_csv_matches_reference_predict_dev(parity_world, tmp_path):
+    """Run the reference predict_dev.py (its TestDataset featurization + torch
+    model) on our haplotype shards in its HDF5 layout, with a shared random
+    checkpoint; our s5 stage must produce the same calls."""
+    import jax
+    import jax.numpy as jnp
+
+    _install_tables_stub()
+    hap_dir = "/root/reference/HaplotypeModel"
+    if hap_dir not in sys.path:
+        sys.path.insert(0, hap_dir)
+    # HaplotypeModel has its own options/utils/optim/model modules that
+    # collide with PileupModel's; force re-import from its directory
+    import importlib
+    saved_mods = {}
+    for m in ("options", "utils", "optim", "model_dev", "dataset_dev",
+              "predict_dev", "get_truth", "lookahead", "novograd", "radam",
+              "ranger21", "focal_loss"):
+        if m in sys.modules:
+            saved_mods[m] = sys.modules.pop(m)
+    sys.path.remove(hap_dir)
+    sys.path.insert(0, hap_dir)
+
+    ranger21 = types.ModuleType("ranger21")
+    ranger21.Ranger21 = object
+    sys.modules["ranger21"] = ranger21
+    torchnet = types.ModuleType("torchnet")
+    torchnet_meter = types.ModuleType("torchnet.meter")
+    torchnet_meter.ConfusionMeter = object
+    torchnet.meter = torchnet_meter
+    sys.modules["torchnet"] = torchnet
+    sys.modules["torchnet.meter"] = torchnet_meter
+
+    world = parity_world
+    tmp = world["tmp"]
+
+    # build a haplotype shard from the BAM via our extractor over a
+    # variant-rich synthetic pileup VCF
+    from nanosnp_tpu.runtime.extract import NativeBamExtractor
+
+    cfg = world["cfg"]
+    cfg.haplotype_feature.hete_support_quality = 2
+    cfg.haplotype_feature.low_quality_threshold = 25
+    pileup_vcf = str(tmp / "ours_pileup.vcf")
+    if not os.path.exists(pileup_vcf):
+        pytest.skip("pileup parity test must run first")
+    extractor = NativeBamExtractor({"chr20": str(tmp / "in.bam")})
+    hap_shards = tmp_path / "hap_shards"
+    m4 = stages.stage_haplotype_features(cfg, world["ref"], pileup_vcf,
+                                         extractor, str(hap_shards))
+    extractor.close()
+    if m4["groups"] == 0:
+        pytest.skip("no haplotype groups formed on this synthetic world")
+
+    h5_dir = tmp_path / "hap_h5"
+    h5_dir.mkdir()
+    for p in os.listdir(hap_shards):
+        shard = bins.load_haplotype_shard(str(hap_shards / p))
+        bins.save_haplotype_shard_h5(str(h5_dir / (p[:-4] + ".bin")), shard)
+
+    # shared random checkpoint
+    import utils as ref_utils
+    import yaml as _yaml
+
+    torch.manual_seed(12345)
+    import model_dev as ref_model_dev
+
+    config = ref_utils.AttrDict(_yaml.safe_load(
+        open(f"{hap_dir}/config/ont_haplotype.yaml")))
+    net = ref_model_dev.LSTMNetwork(config)
+    ckpt_path = tmp_path / "shared.chkpt"
+    torch.save(net.state_dict(), str(ckpt_path))
+
+    import predict_dev as ref_predict_dev
+
+    ref_csv = tmp_path / "ref_hap.csv"
+    argv = sys.argv
+    sys.argv = [
+        "predict_dev.py",
+        "-config", f"{hap_dir}/config/ont_haplotype.yaml",
+        "-model_path", str(ckpt_path),
+        "-bin_paths", str(h5_dir),
+        "-reference_path", world["fasta"],
+        "-output", str(ref_csv),
+        "--no_cuda",
+    ]
+    try:
+        ref_predict_dev.main()
+    finally:
+        sys.argv = argv
+        sys.modules.update(saved_mods)
+
+    # ours: convert the same weights, run s5
+    from nanosnp_tpu.models.convert import haplotype_params_from_torch
+
+    params = jax.tree.map(jnp.asarray, haplotype_params_from_torch(
+        torch.load(str(ckpt_path), weights_only=False)))
+    cfg.inference.use_bf16 = False
+    cfg.inference.use_pallas = False
+    our_csv = tmp_path / "our_hap.csv"
+    stages.stage_haplotype_predict(cfg, world["ref"], str(hap_shards),
+                                   str(our_csv), params)
+
+    want = {}
+    for line in ref_csv.read_text().splitlines():
+        c, p, gt, q = line.split("\t")
+        want[(c, int(p))] = (gt, float(q))
+    got = {}
+    for line in our_csv.read_text().splitlines():
+        c, p, gt, q = line.split("\t")
+        got[(c, int(p))] = (gt, float(q))
+    assert set(want) == set(got), (len(want), len(got))
+    n_gt_same = sum(1 for k in want if want[k][0] == got[k][0])
+    assert n_gt_same / len(want) > 0.98, (n_gt_same, len(want))
+    for k in want:
+        if want[k][0] == got[k][0]:
+            assert abs(want[k][1] - got[k][1]) < 0.6, (k, want[k], got[k])
