@@ -27,7 +27,25 @@ def _add_common(p):
     p.add_argument("--output", "-o", required=True, help="output directory")
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat pipeline runs skip the
+    (remote-)compile of every jitted stage."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "NSP_JAX_CACHE", os.path.expanduser("~/.cache/nanosnp_jax"))
+        if not cache_dir or cache_dir == "0":
+            return
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="nanosnp_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -167,3 +167,60 @@ def test_read_matrices_empty_region(tmp_path):
     # either None or valid shapes
     if got is not None:
         assert got["sequences"].shape[1] == 2
+
+
+def test_multi_contig_bam(tmp_path):
+    """Two contigs in one BAM: region queries stay contig-local."""
+    rng = np.random.default_rng(61)
+    genome = random_genome(rng, {"cA": 500, "cB": 400})
+    seqA = np.frombuffer(genome["cA"].encode(), dtype=np.uint8).copy()
+    seqB = np.frombuffer(genome["cB"].encode(), dtype=np.uint8).copy()
+    readsA = random_reads(rng, genome["cA"], 0, n_reads=40)
+    readsB = random_reads(rng, genome["cB"], 1, n_reads=40)
+    bam_path = tmp_path / "multi.bam"
+    write_bam(str(bam_path), [("cA", 500), ("cB", 400)], readsA + readsB)
+
+    wantA = parse_mpileup_native(
+        ("\n".join(simulate_mpileup({"cA": genome["cA"]}, {"cA": readsA}))
+         + "\n").encode(), "cA", seqA)
+    wantB = parse_mpileup_native(
+        ("\n".join(simulate_mpileup({"cB": genome["cB"]}, {"cB": readsB}))
+         + "\n").encode(), "cB", seqB)
+    with BamFile(str(bam_path)) as bam:
+        assert bam.references() == [("cA", 500), ("cB", 400)]
+        gotA = bam.pileup_region("cA", 0, 500, seqA)
+        gotB = bam.pileup_region("cB", 0, 400, seqB)
+    _assert_same(gotA, wantA)
+    _assert_same(gotB, wantB)
+
+
+def test_corrupt_bam_files_fail_cleanly(tmp_path):
+    from nanosnp_tpu.io.native import NativeUnavailable
+
+    cases = {
+        "empty.bam": b"",
+        "garbage.bam": b"not a bam file at all",
+        "badmagic.bam": __import__("bamgen").bgzf_block(b"XAM\1\0\0\0\0"),
+    }
+    # truncated real BAM
+    genome = random_genome(np.random.default_rng(1), {"c": 300})
+    reads = random_reads(np.random.default_rng(1), genome["c"], 0, n_reads=10)
+    good = tmp_path / "good.bam"
+    write_bam(str(good), [("c", 300)], reads)
+    data = good.read_bytes()
+    cases["truncated.bam"] = data[: len(data) // 3]
+
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        if name == "truncated.bam":
+            # truncation mid-BGZF either fails to open or yields a readable
+            # prefix — both acceptable, never a crash
+            try:
+                with BamFile(str(p)) as bam:
+                    bam.references()
+            except NativeUnavailable:
+                pass
+        else:
+            with pytest.raises(NativeUnavailable):
+                BamFile(str(p))
