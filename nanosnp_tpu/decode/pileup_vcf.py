@@ -159,3 +159,162 @@ def decode_pileup_calls(
                       f"PASS\t.\tGT:GQ:DP:AF\t{zy}:{int(qual)}:{depth}:{af:f}\n")
             rows += 1
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Vectorized decoder
+# ---------------------------------------------------------------------------
+# The scalar decode_pileup_calls above is the reference-exact port; this
+# fast path precomputes every (sref, gt_argmax, zy_argmax) combination's
+# branch decision, alt/zy strings, AF support weights, and qual choice, so
+# per-batch work is numpy plus one string-assembly comprehension over kept
+# rows. Differential-tested against the scalar port.
+
+_SREFS = "ACGT"
+
+
+def _combo_tables():
+    import numpy as np
+
+    n_combo = 4 * 21 * 3
+    keep = np.zeros(n_combo, dtype=bool)
+    needs_fallback = np.zeros(n_combo, dtype=bool)   # batch-dependent alt
+    alt_str = [""] * n_combo
+    zy_str = [""] * n_combo
+    filt = [""] * n_combo
+    qual_kind = np.zeros(n_combo, dtype=np.int8)     # 0=min 1=gt 2=zy
+    support_w = np.zeros((n_combo, 8), dtype=np.int64)
+
+    for si, sref in enumerate(_SREFS):
+        for gt_a in range(21):
+            for zy_a in range(3):
+                ci = (si * 21 + gt_a) * 3 + zy_a
+                if gt_a >= 10:
+                    continue
+                gt_label = C.GT21_LABELS[gt_a]
+                zy = C.ZY_LABELS[zy_a]
+                alt = gt_label.replace(sref, "")
+                for base in alt:
+                    b = C.BASE_IDX[base]
+                    support_w[ci, b] += 1
+                    support_w[ci, b + 4] += 1
+                if len(alt) == 0:
+                    if zy == "0/0":
+                        keep[ci] = True
+                        alt_str[ci] = sref
+                        zy_str[ci] = zy
+                        filt[ci] = "RefCall"
+                        qual_kind[ci] = 0
+                    else:
+                        keep[ci] = True
+                        needs_fallback[ci] = True
+                        zy_str[ci] = zy
+                        filt[ci] = "PASS"
+                        qual_kind[ci] = 2
+                    continue
+                if len(alt) == 2 and alt[0] == alt[1]:
+                    alt = alt[0]
+                if len(alt) == 2:
+                    alt = ",".join(alt)
+                if len(alt) >= 3 and zy_a != 2:
+                    zy = "1/2"
+                keep[ci] = True
+                alt_str[ci] = alt
+                zy_str[ci] = zy
+                filt[ci] = "PASS"
+                qual_kind[ci] = 1 if zy_a == 0 else 0
+    return dict(keep=keep, needs_fallback=needs_fallback, alt=alt_str,
+                zy=zy_str, filt=filt, qual_kind=qual_kind,
+                support_w=support_w)
+
+
+_TABLES = None
+
+
+def _get_tables():
+    global _TABLES
+    if _TABLES is None:
+        _TABLES = _combo_tables()
+    return _TABLES
+
+
+def _phred_vec(p: np.ndarray) -> np.ndarray:
+    # float64 throughout so round(x, 2) and str() match the scalar path
+    p = p.astype(np.float64)
+    tmp = _LOG10E_NEG10 * np.log(((1.0 - p) + 1e-300) / (p + 1e-300)) + 10
+    return np.round(np.maximum(tmp, 0), 2)
+
+
+def decode_pileup_calls_fast(
+    contig: str,
+    positions: np.ndarray,
+    ref_bases,
+    gt_prob: np.ndarray,
+    zy_prob: np.ndarray,
+    center_counts: np.ndarray,
+    out,
+    batch_size: int = 1000,
+    bug_compat: bool = True,
+) -> int:
+    """Vectorized equivalent of decode_pileup_calls (same output bytes)."""
+    n = len(positions)
+    if n == 0:
+        return 0
+    t = _get_tables()
+    gt_arg = gt_prob.argmax(axis=1)
+    zy_arg = zy_prob.argmax(axis=1)
+    gt_qual = _phred_vec(gt_prob.max(axis=1))
+    zy_qual = _phred_vec(zy_prob.max(axis=1))
+    min_qual = np.minimum(gt_qual, zy_qual)
+
+    sref_arr = np.frombuffer(
+        "".join(ref_bases).encode(), dtype=np.uint8) if isinstance(
+            ref_bases, list) else ref_bases
+    sref_idx = np.searchsorted(np.frombuffer(b"ACGT", dtype=np.uint8),
+                               sref_arr)
+    combo = (sref_idx * 21 + gt_arg) * 3 + zy_arg
+
+    cov = center_counts[:, C.DECODE_COV_CH].astype(np.int64)
+    depth = np.where(cov < 0, -cov, 0).sum(axis=1)
+    support = np.einsum("nk,nk->n", cov, t["support_w"][combo])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        af = np.minimum(support / np.where(depth == 0, 1, depth), 1.0)
+
+    keep = t["keep"][combo] & (depth > 0)
+    qual_kind = t["qual_kind"][combo]
+    qual = np.where(qual_kind == 0, min_qual,
+                    np.where(qual_kind == 1, gt_qual, zy_qual))
+
+    needs_fb = t["needs_fallback"][combo]
+    rows_out = 0
+    alt_cache = {}
+    pieces = []
+    for b0 in range(0, n, batch_size):
+        b1 = min(b0 + batch_size, n)
+        gt_arg_b = gt_arg[b0:b1]
+        alt_cache.clear()
+        for j in np.flatnonzero(keep[b0:b1]) + b0:
+            ci = combo[j]
+            if needs_fb[j]:
+                key = (int(sref_idx[j]), t["zy"][ci])
+                if key not in alt_cache:
+                    alt_cache[key] = _fallback_alt(
+                        _SREFS[sref_idx[j]], t["zy"][ci], gt_arg_b,
+                        gt_prob[j], bug_compat)
+                alt = alt_cache.get(key)
+                # non-compat mode depends on the row's own probs: recompute
+                if not bug_compat:
+                    alt = _fallback_alt(_SREFS[sref_idx[j]], t["zy"][ci],
+                                        gt_arg_b, gt_prob[j], bug_compat)
+                if alt is None:
+                    continue
+            else:
+                alt = t["alt"][ci]
+            q = qual[j]
+            pieces.append(
+                f"{contig}\t{positions[j]}\t.\t{_SREFS[sref_idx[j]]}\t{alt}\t"
+                f"{q}\t{t['filt'][ci]}\t.\tGT:GQ:DP:AF\t"
+                f"{t['zy'][ci]}:{int(q)}:{depth[j]}:{af[j]:f}\n")
+            rows_out += 1
+    out.write("".join(pieces))
+    return rows_out

@@ -20,7 +20,7 @@ import numpy as np
 from .. import constants as C
 from ..config import PipelineConfig
 from ..decode.merge import merge_calls
-from ..decode.pileup_vcf import decode_pileup_calls, write_vcf_header
+from ..decode.pileup_vcf import decode_pileup_calls_fast, write_vcf_header
 from ..features.haplotype import (
     build_groups,
     chunk_groups,
@@ -261,7 +261,7 @@ def stage_pileup_predict(
                 continue
             gt, zy = predictor.run(shard.matrix.astype(np.float32))
             ref_bases = [r.decode()[16] for r in shard.ref_seqs]
-            decode_pileup_calls(
+            decode_pileup_calls_fast(
                 shard.contig, shard.positions, ref_bases, gt, zy,
                 shard.matrix[:, mcfg.seq_len // 2, :], out,
                 batch_size=1000, bug_compat=cfg.inference.bug_compat)

@@ -243,3 +243,35 @@ def test_merge_low_hap_qual_fallback():
     got = _merge([_vcf_row(qual=15.0)], ["chr1\t100\tAC\t5.0\n"])
     body = [l for l in got.split("\n") if l and not l.startswith("#")]
     assert len(body) == 1 and body[0].split("\t")[7] == "P"
+
+
+def test_fast_decoder_matches_scalar():
+    """Vectorized decoder vs the scalar reference-exact port on fuzzed
+    batches, both bug-compat modes."""
+    from nanosnp_tpu.decode.pileup_vcf import decode_pileup_calls_fast
+
+    rng = np.random.default_rng(31337)
+    for trial in range(6):
+        n = int(rng.integers(1, 700))
+        gt = rng.random((n, 21)).astype(np.float32)
+        # bias some rows to indel classes and some to ref-matching classes
+        boost = rng.integers(0, 21, n)
+        gt[np.arange(n), boost] += rng.random(n) * 3
+        gt /= gt.sum(1, keepdims=True)
+        zy = rng.random((n, 3)).astype(np.float32)
+        zy[np.arange(n), rng.integers(0, 3, n)] += rng.random(n) * 2
+        zy /= zy.sum(1, keepdims=True)
+        center = rng.integers(-30, 30, (n, 18)).astype(np.int64)
+        if n > 3:
+            center[rng.integers(0, n, 2)] = 0      # depth-0 rows
+        pos = np.sort(rng.choice(np.arange(1, 10 * n + 2), n, replace=False))
+        refs = [str(b) for b in rng.choice(list("ACGT"), n)]
+        for bug_compat in (True, False):
+            a, b = io.StringIO(), io.StringIO()
+            na = decode_pileup_calls("c", pos, refs, gt, zy, center, a,
+                                     batch_size=100, bug_compat=bug_compat)
+            nb = decode_pileup_calls_fast("c", pos, refs, gt, zy, center, b,
+                                          batch_size=100,
+                                          bug_compat=bug_compat)
+            assert na == nb, (trial, bug_compat, na, nb)
+            assert a.getvalue() == b.getvalue(), (trial, bug_compat)
