@@ -21,7 +21,6 @@ _SRCS = [
     os.path.join(_NATIVE_DIR, "bam_core.cpp"),
 ]
 _HDRS = [os.path.join(_NATIVE_DIR, "pileup_common.hpp")]
-_LIB = os.path.join(_NATIVE_DIR, "libnanosnp.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
@@ -30,11 +29,29 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
-def _build() -> None:
+def _asan_enabled() -> bool:
+    return os.environ.get("NSP_NATIVE_ASAN", "").lower() in ("1", "true", "yes")
+
+
+def _lib_path() -> str:
+    # separate cache per build mode so toggling NSP_NATIVE_ASAN always loads
+    # the matching instrumentation
+    name = "libnanosnp_asan.so" if _asan_enabled() else "libnanosnp.so"
+    return os.path.join(_NATIVE_DIR, name)
+
+
+def _build(lib_path: str) -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-fopenmp", "-shared",
-        "-fPIC", "-o", _LIB, *_SRCS, "-lz",
+        "-fPIC", "-o", lib_path, *_SRCS, "-lz",
     ]
+    if _asan_enabled():
+        # the reference's asan_makefile equivalent. Loading an ASan .so into
+        # an uninstrumented python needs the shared runtime preloaded:
+        #   LD_PRELOAD=$(g++ -print-file-name=libasan.so) NSP_NATIVE_ASAN=1 ...
+        cmd = [c for c in cmd if c != "-O3"]
+        cmd[1:1] = ["-O1", "-g", "-fsanitize=address", "-shared-libasan",
+                    "-fno-omit-frame-pointer"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -47,10 +64,11 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
+        lib_path = _lib_path()
         newest_src = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest_src:
-            _build()
-        lib = ctypes.CDLL(_LIB)
+        if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < newest_src:
+            _build(lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.nsp_count_rows.restype = ctypes.c_int64
         lib.nsp_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.nsp_parse_mpileup.restype = ctypes.c_int64

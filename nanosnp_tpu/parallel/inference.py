@@ -26,10 +26,11 @@ class BatchedPredictor:
         params,
         batch_size: int = 8192,
         mesh: Optional[jax.sharding.Mesh] = None,
-        donate_inputs: bool = True,
+        max_in_flight: int = 2,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = batch_size
+        self.max_in_flight = max(max_in_flight, 1)
         n_dev = len(self.mesh.devices.reshape(-1))
         if batch_size % n_dev:
             raise ValueError(f"batch_size {batch_size} not divisible by "
@@ -37,16 +38,26 @@ class BatchedPredictor:
         self.data_sharding = shard_batch(self.mesh)
         self.param_sharding = replicated(self.mesh)
         self.params = jax.device_put(params, self.param_sharding)
-        # shardings are inferred from operand placement; donation lets XLA
-        # reuse the input HBM for activations on the next batch
+        # shardings are inferred from operand placement
         self._fn = jax.jit(predict_fn)
 
     def run(self, *arrays: np.ndarray) -> List[np.ndarray]:
         """arrays: host arrays with common leading dim N. Returns outputs
-        with the padding stripped, concatenated over all batches."""
+        with the padding stripped, concatenated over all batches.
+
+        Dispatch runs up to `max_in_flight` batches ahead of the fetches
+        (JAX arrays are async futures): device compute for batch i+1
+        overlaps the host-side fetch of batch i, while bounding in-flight
+        device buffers so large N cannot exhaust HBM."""
         n = arrays[0].shape[0]
-        outs: List[List[np.ndarray]] = []
         bs = self.batch_size
+        pending: List = []
+        outs: List[List[np.ndarray]] = []
+
+        def drain_one():
+            m, res = pending.pop(0)
+            outs.append([np.asarray(r)[:m] for r in res])
+
         for start in range(0, n, bs):
             chunk = [a[start: start + bs] for a in arrays]
             m = chunk[0].shape[0]
@@ -59,8 +70,11 @@ class BatchedPredictor:
             res = self._fn(self.params, *device_chunk)
             if not isinstance(res, (tuple, list)):
                 res = (res,)
-            host = [np.asarray(r)[:m] for r in res]
-            outs.append(host)
+            pending.append((m, res))
+            while len(pending) > self.max_in_flight:
+                drain_one()
+        while pending:
+            drain_one()
         if not outs:
             return []
         return [np.concatenate([o[i] for o in outs]) for i in range(len(outs[0]))]

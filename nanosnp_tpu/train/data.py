@@ -217,41 +217,103 @@ def haplotype_train_iterator(
     from .. import constants as _C
 
     rng = rng or np.random.default_rng(0)
+
+    def shard_samples(path):
+        shard = _bins.load_haplotype_shard(path)
+        if len(shard) == 0 or shard.contig not in labels_by_contig:
+            return None
+        lab = attach_haplotype_labels(shard.candidate_positions,
+                                      labels_by_contig[shard.contig])
+        cf, gt, zy = lab[:, 0], lab[:, 1], lab[:, 2]
+        valid = (cf == 1) & (zy >= -1) & (zy < 10) & (gt < 10)
+        ref_idx = np.flatnonzero(valid & (zy == -1))
+        var_idx = np.flatnonzero(valid & (zy > 0))
+        n_ref_keep = int(len(var_idx) / pn_value) if pn_value > 0 else len(ref_idx)
+        if len(ref_idx) > n_ref_keep:
+            ref_idx = rng.choice(ref_idx, size=n_ref_keep, replace=False)
+        sel = np.concatenate([ref_idx, var_idx])
+        if len(sel) == 0:
+            return None
+        rng.shuffle(sel)
+        idx = sel
+        return {
+            "p_seq": shard.pileup["sequences"][idx].astype(np.float32),
+            "p_baseq": shard.pileup["baseq"][idx].astype(np.float32),
+            "p_mapq": shard.pileup["mapq"][idx].astype(np.float32),
+            "p_hap": shard.pileup["hap"][idx].astype(np.float32),
+            "p_ref": _ref_codes_for(shard, idx, _C.FLANKING_BASES, "pileup"),
+            "h_seq": shard.haplotype["sequences"][idx].astype(np.float32),
+            "h_baseq": shard.haplotype["baseq"][idx].astype(np.float32),
+            "h_mapq": shard.haplotype["mapq"][idx].astype(np.float32),
+            "h_hap": shard.haplotype["hap"][idx].astype(np.float32),
+            "h_ref": _ref_codes_for(shard, idx, None, "haplotype"),
+            "gt": gt[idx].astype(np.int32),
+            "zy": np.where(zy[idx] >= 0, zy[idx], 0).astype(np.int32),
+        }
+
+    def bucket_of(d):
+        for b in (16, 32, 48, 64, 96, 128, 192, 256, 384, 512):
+            if d <= b:
+                return b
+        return ((d + 127) // 128) * 128
+
+    depth_keys = ("p_seq", "p_baseq", "p_mapq", "p_hap",
+                  "h_seq", "h_baseq", "h_mapq", "h_hap")
+
+    def pad_depth(batch_part, key, target):
+        a = batch_part[key]
+        if a.shape[1] < target:
+            a = np.pad(a, ((0, 0), (0, target - a.shape[1]), (0, 0)),
+                       constant_values=_C.PAD_VALUE)
+        return a
+
     for _ in range(epochs):
-        for path in shard_paths:
-            shard = _bins.load_haplotype_shard(path)
-            if len(shard) == 0 or shard.contig not in labels_by_contig:
+        # shards hold at most one group-chunk (~100 sites); pool samples
+        # across shards into (pileup-depth, haplotype-depth) buckets so any
+        # batch_size works; batches are emitted per bucket.
+        pools: Dict[tuple, Dict[str, np.ndarray]] = {}
+        order = list(shard_paths)
+        rng.shuffle(order)
+
+        def split_batches(key, force=False):
+            pool = pools.get(key)
+            while pool is not None and (
+                    len(pool["gt"]) >= batch_size
+                    or (force and len(pool["gt"]) > 0)):
+                n_avail = len(pool["gt"])
+                if n_avail >= batch_size:
+                    yield {k: v[:batch_size] for k, v in pool.items()}
+                    pool = {k: v[batch_size:] for k, v in pool.items()}
+                else:
+                    # remainder: repeat samples up to a full static batch so
+                    # every batch shards evenly over the device mesh
+                    reps = -(-batch_size // n_avail)
+                    idx = np.tile(np.arange(n_avail), reps)[:batch_size]
+                    yield {k: v[idx] for k, v in pool.items()}
+                    pool = {k: v[:0] for k, v in pool.items()}
+                pools[key] = pool
+                if len(pool["gt"]) == 0:
+                    del pools[key]
+                    pool = None
+
+        for path in order:
+            sample = shard_samples(path)
+            if sample is None:
                 continue
-            lab = attach_haplotype_labels(shard.candidate_positions,
-                                          labels_by_contig[shard.contig])
-            cf, gt, zy = lab[:, 0], lab[:, 1], lab[:, 2]
-            valid = (cf == 1) & (zy >= -1) & (zy < 10) & (gt < 10)
-            ref_idx = np.flatnonzero(valid & (zy == -1))
-            var_idx = np.flatnonzero(valid & (zy > 0))
-            n_ref_keep = int(len(var_idx) / pn_value) if pn_value > 0 else len(ref_idx)
-            if len(ref_idx) > n_ref_keep:
-                ref_idx = rng.choice(ref_idx, size=n_ref_keep, replace=False)
-            sel = np.concatenate([ref_idx, var_idx])
-            if len(sel) == 0:
-                continue
-            rng.shuffle(sel)
-            for s in range(0, len(sel) - batch_size + 1, batch_size):
-                idx = sel[s: s + batch_size]
-                yield {
-                    "p_seq": shard.pileup["sequences"][idx].astype(np.float32),
-                    "p_baseq": shard.pileup["baseq"][idx].astype(np.float32),
-                    "p_mapq": shard.pileup["mapq"][idx].astype(np.float32),
-                    "p_hap": shard.pileup["hap"][idx].astype(np.float32),
-                    "p_ref": _ref_codes_for(shard, idx, _C.FLANKING_BASES,
-                                            "pileup"),
-                    "h_seq": shard.haplotype["sequences"][idx].astype(np.float32),
-                    "h_baseq": shard.haplotype["baseq"][idx].astype(np.float32),
-                    "h_mapq": shard.haplotype["mapq"][idx].astype(np.float32),
-                    "h_hap": shard.haplotype["hap"][idx].astype(np.float32),
-                    "h_ref": _ref_codes_for(shard, idx, None, "haplotype"),
-                    "gt": gt[idx].astype(np.int32),
-                    "zy": np.where(zy[idx] >= 0, zy[idx], 0).astype(np.int32),
-                }
+            key = (bucket_of(sample["p_seq"].shape[1]),
+                   bucket_of(sample["h_seq"].shape[1]))
+            for k in depth_keys:
+                sample[k] = pad_depth(sample, k,
+                                      key[0] if k.startswith("p") else key[1])
+            pool = pools.get(key)
+            if pool is None:
+                pools[key] = sample
+            else:
+                pools[key] = {k: np.concatenate([pool[k], sample[k]])
+                              for k in pool}
+            yield from split_batches(key)
+        for key in list(pools):
+            yield from split_batches(key, force=True)
 
 
 _REF_SEQS: Dict[str, np.ndarray] = {}

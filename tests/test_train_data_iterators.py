@@ -54,7 +54,9 @@ def test_haplotype_train_iterator(tmp_path):
     # variants (20) + ~20 refcalls at pn 1.0, batched by 8
     assert 24 <= total <= 40
     b = batches[0]
-    assert b["p_seq"].shape == (8, dp, 33)
+    # depths are padded to the iterator's buckets (12 -> 16, 10 -> 16)
+    assert b["p_seq"].shape == (8, 16, 33)
+    assert b["h_seq"].shape == (8, 16, 11)
     assert b["h_ref"].shape == (8, 11)
     assert set(np.unique(b["zy"])) <= {0, 1, 2}
     # p_ref codes come from the registered reference
