@@ -1,11 +1,15 @@
-// NanoSNP-TPU native BAM engine: BGZF + BAM record parsing + two pileup
-// consumers, no htslib dependency (zlib only).
+// NanoSNP-TPU native BAM engine: streaming BGZF + BAM record parsing + two
+// pileup consumers, no htslib dependency (zlib only).
 //
-//   nsp_bam_open/close      load + inflate a BAM, build an in-memory record
-//                           index (ref, start, end, offset) for region
-//                           queries without BAI files.
-//   nsp_bam_pileup_region   direct BAM -> per-position 18-channel tensors
-//                           for [start0, end0), replacing the reference's
+//   nsp_bam_open/close      one streaming pass over the BAM: builds a BGZF
+//                           block table (file offset <-> inflated offset)
+//                           and an in-memory record index (ref, start, end,
+//                           inflated offset/length) for region queries
+//                           without BAI files. Memory stays O(index): the
+//                           compressed file is NOT retained; region queries
+//                           pread + inflate only their covering blocks.
+//   nsp_bam_pileup_region   direct BAM -> 18-channel position tensors for
+//                           [start0, end0), replacing the reference's
 //                           samtools-mpileup text round-trip
 //                           (make_predict_data.sh steps 1-3). mpileup
 //                           semantics: --min-MQ / --excl-flags filters,
@@ -30,7 +34,6 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <map>
 #include <mutex>
 #include <string>
 #include <unordered_map>
@@ -41,37 +44,6 @@
 #include "pileup_common.hpp"
 
 namespace {
-
-bool inflate_bgzf(const uint8_t* data, size_t len, std::vector<uint8_t>& out) {
-  out.clear();
-  out.reserve(len * 4);
-  size_t pos = 0;
-  std::vector<uint8_t> chunk(1 << 16);
-  z_stream zs;
-  while (pos + 18 <= len) {
-    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
-    std::memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
-    zs.next_in = const_cast<uint8_t*>(data + pos);
-    zs.avail_in = (uInt)std::min<size_t>(len - pos, 0xffffffffu);
-    int ret = Z_OK;
-    while (ret != Z_STREAM_END) {
-      zs.next_out = chunk.data();
-      zs.avail_out = (uInt)chunk.size();
-      ret = inflate(&zs, Z_NO_FLUSH);
-      if (ret != Z_OK && ret != Z_STREAM_END) {
-        inflateEnd(&zs);
-        return false;
-      }
-      out.insert(out.end(), chunk.data(),
-                 chunk.data() + (chunk.size() - zs.avail_out));
-    }
-    pos += zs.total_in;
-    inflateEnd(&zs);
-    if (pos >= len) break;
-  }
-  return true;
-}
 
 struct BamRef {
   std::string name;
@@ -94,39 +66,92 @@ struct BamRecord {
 
 struct RecordIdx {
   int32_t ref_id;
-  int32_t start;   // 0-based
-  int32_t end;     // 0-based exclusive (start + ref span)
-  uint64_t off;    // offset of block_size field in inflated data
+  int32_t start;     // 0-based
+  int32_t end;       // 0-based exclusive (start + ref span)
+  uint64_t off;      // inflated-stream offset of the block_size field
+  uint32_t len;      // 4 + block_size bytes
+};
+
+struct BgzfBlock {
+  uint64_t file_off;
+  uint64_t infl_off;
+  uint32_t comp_len;
+  uint32_t infl_len;
 };
 
 struct OpenBam {
-  std::vector<uint8_t> data;
+  FILE* f = nullptr;
   std::vector<BamRef> refs;
   std::unordered_map<std::string, int> ref_ids;
   std::vector<RecordIdx> index;           // sorted by (ref_id, start)
   std::vector<size_t> ref_index_begin;    // per ref: first index entry
+  std::vector<BgzfBlock> blocks;          // ascending infl_off
+  uint64_t total_inflated = 0;
+  std::mutex io_mu;                       // serializes file reads
+
+  ~OpenBam() {
+    if (f) std::fclose(f);
+  }
 };
 
 std::mutex g_mu;
 std::unordered_map<int64_t, OpenBam*> g_open;
 int64_t g_next_handle = 1;
 
-bool parse_record_at(const OpenBam& b, uint64_t off, BamRecord* r,
-                     uint64_t* next_off) {
-  if (off + 4 > b.data.size()) return false;
-  const uint8_t* base = b.data.data();
-  int32_t block_size = *(const int32_t*)(base + off);
-  if (block_size < 32 || off + 4 + (uint64_t)block_size > b.data.size())
-    return false;
-  const uint8_t* p = base + off + 4;
-  r->ref_id = *(const int32_t*)(p + 0);
-  r->pos = *(const int32_t*)(p + 4);
-  uint8_t l_read_name = p[8];
-  r->mapq = p[9];
-  r->n_cigar = *(const uint16_t*)(p + 12);
-  r->flag = *(const uint16_t*)(p + 14);
-  r->l_seq = *(const int32_t*)(p + 16);
-  const uint8_t* q = p + 32 + l_read_name;
+// Inflate one gzip member starting at file_off. Appends inflated bytes to
+// `out`; sets comp_len/infl_len. Returns false at EOF or on error.
+bool inflate_member(FILE* f, uint64_t file_off, std::vector<uint8_t>& out,
+                    uint32_t* comp_len, uint32_t* infl_len) {
+  if (std::fseek(f, (long)file_off, SEEK_SET) != 0) return false;
+  std::vector<uint8_t> in_buf(1 << 17);
+  std::vector<uint8_t> chunk(1 << 16);
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
+  size_t out_before = out.size();
+  uint64_t consumed = 0;
+  int ret = Z_OK;
+  bool ok = true;
+  while (ret != Z_STREAM_END) {
+    if (zs.avail_in == 0) {
+      size_t got = std::fread(in_buf.data(), 1, in_buf.size(), f);
+      if (got == 0) { ok = false; break; }
+      zs.next_in = in_buf.data();
+      zs.avail_in = (uInt)got;
+    }
+    uInt avail_before = zs.avail_in;
+    zs.next_out = chunk.data();
+    zs.avail_out = (uInt)chunk.size();
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) { ok = false; break; }
+    consumed += avail_before - zs.avail_in;
+    out.insert(out.end(), chunk.data(),
+               chunk.data() + (chunk.size() - zs.avail_out));
+  }
+  inflateEnd(&zs);
+  if (!ok) return false;
+  *comp_len = (uint32_t)consumed;
+  *infl_len = (uint32_t)(out.size() - out_before);
+  return true;
+}
+
+// parse a record laid out at `p` (block_size field first); returns false if
+// fewer than `avail` bytes suffice
+bool parse_record(const uint8_t* p, size_t avail, BamRecord* r,
+                  uint32_t* rec_len) {
+  if (avail < 4) return false;
+  int32_t block_size = *(const int32_t*)p;
+  if (block_size < 32) return false;
+  if (avail < 4 + (size_t)block_size) return false;
+  const uint8_t* b = p + 4;
+  r->ref_id = *(const int32_t*)(b + 0);
+  r->pos = *(const int32_t*)(b + 4);
+  uint8_t l_read_name = b[8];
+  r->mapq = b[9];
+  r->n_cigar = *(const uint16_t*)(b + 12);
+  r->flag = *(const uint16_t*)(b + 14);
+  r->l_seq = *(const int32_t*)(b + 16);
+  const uint8_t* q = b + 32 + l_read_name;
   r->cigar = (const uint32_t*)q;
   q += 4ull * r->n_cigar;
   r->seq4 = q;
@@ -134,8 +159,9 @@ bool parse_record_at(const OpenBam& b, uint64_t off, BamRecord* r,
   r->qual = q;
   q += r->l_seq;
   r->aux = q;
-  r->aux_len = (size_t)block_size - (q - p);
-  *next_off = off + 4 + block_size;
+  if (q > b + block_size) return false;
+  r->aux_len = (size_t)(b + block_size - q);
+  *rec_len = 4 + (uint32_t)block_size;
   return true;
 }
 
@@ -207,25 +233,69 @@ bool aux_int(const BamRecord& r, const char tag[2], int64_t* out) {
   return false;
 }
 
-// iterate index entries of records overlapping [start, end) on ref_id
-struct RegionIter {
-  const OpenBam& b;
-  int ref_id;
-  int64_t start, end;
-  size_t i;
-  RegionIter(const OpenBam& b_, int ref_id_, int64_t s, int64_t e)
-      : b(b_), ref_id(ref_id_), start(s), end(e) {
-    i = b.ref_index_begin[ref_id];
+// fetch inflated bytes [lo, hi) into buf (thread-safe per handle)
+bool fetch_inflated(OpenBam* b, uint64_t lo, uint64_t hi,
+                    std::vector<uint8_t>& buf, uint64_t* base) {
+  if (hi > b->total_inflated) hi = b->total_inflated;
+  if (lo >= hi) {
+    buf.clear();
+    *base = lo;
+    return true;
   }
-  bool next(BamRecord* r) {
-    while (i < b.index.size() && b.index[i].ref_id == ref_id) {
-      const RecordIdx& ri = b.index[i];
-      if (ri.start >= end) return false;  // sorted: done
-      ++i;
+  // first block with infl_off + infl_len > lo
+  size_t i = (size_t)(std::upper_bound(
+                          b->blocks.begin(), b->blocks.end(), lo,
+                          [](uint64_t v, const BgzfBlock& blk) {
+                            return v < blk.infl_off + blk.infl_len;
+                          }) -
+                      b->blocks.begin());
+  if (i >= b->blocks.size()) return false;
+  *base = b->blocks[i].infl_off;
+  buf.clear();
+  std::lock_guard<std::mutex> lk(b->io_mu);
+  for (; i < b->blocks.size() && b->blocks[i].infl_off < hi; ++i) {
+    uint32_t cl, il;
+    if (!inflate_member(b->f, b->blocks[i].file_off, buf, &cl, &il))
+      return false;
+  }
+  return true;
+}
+
+// iterate records overlapping [start, end) on ref_id; fetches the covering
+// inflated span once up front
+struct RegionIter {
+  OpenBam* b;
+  std::vector<uint8_t> window;
+  uint64_t base = 0;
+  std::vector<const RecordIdx*> entries;
+  size_t next_i = 0;
+  bool ok = false;
+
+  RegionIter(OpenBam* b_, int ref_id, int64_t start, int64_t end) : b(b_) {
+    uint64_t lo = UINT64_MAX, hi = 0;
+    for (size_t i = b->ref_index_begin[ref_id];
+         i < b->index.size() && b->index[i].ref_id == ref_id; ++i) {
+      const RecordIdx& ri = b->index[i];
+      if (ri.start >= end) break;
       if (ri.end <= start) continue;
-      uint64_t dummy;
-      if (!parse_record_at(b, ri.off, r, &dummy)) return false;
-      return true;
+      entries.push_back(&ri);
+      lo = std::min(lo, ri.off);
+      hi = std::max(hi, ri.off + ri.len);
+    }
+    if (entries.empty()) {
+      ok = true;
+      return;
+    }
+    ok = fetch_inflated(b, lo, hi, window, &base);
+  }
+
+  bool next(BamRecord* r) {
+    while (ok && next_i < entries.size()) {
+      const RecordIdx* ri = entries[next_i++];
+      uint64_t rel = ri->off - base;
+      if (rel + ri->len > window.size()) continue;  // corrupt span: skip
+      uint32_t rec_len;
+      if (parse_record(window.data() + rel, ri->len, r, &rec_len)) return true;
     }
     return false;
   }
@@ -238,61 +308,115 @@ extern "C" {
 int64_t nsp_bam_open(const char* path) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  std::fseek(f, 0, SEEK_END);
-  long sz = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> raw((size_t)sz);
-  if (std::fread(raw.data(), 1, (size_t)sz, f) != (size_t)sz) {
-    std::fclose(f);
-    return -1;
-  }
-  std::fclose(f);
-
   OpenBam* b = new OpenBam();
-  if (!inflate_bgzf(raw.data(), raw.size(), b->data)) {
+  b->f = f;
+
+  // streaming pass: block table + rolling record-header parse
+  std::vector<uint8_t> carry;     // inflated bytes not yet consumed
+  uint64_t carry_base = 0;        // inflated offset of carry[0]
+  uint64_t file_off = 0;
+  uint64_t infl_off = 0;
+  bool header_done = false;
+  uint64_t parse_pos = 0;         // absolute inflated parse position
+
+  auto fail = [&]() -> int64_t {
     delete b;
     return -2;
-  }
-  // header
-  const uint8_t* base = b->data.data();
-  if (b->data.size() < 12 || std::memcmp(base, "BAM\1", 4) != 0) {
-    delete b;
-    return -3;
-  }
-  uint64_t off = 4;
-  int32_t l_text = *(const int32_t*)(base + off);
-  off += 4 + (uint64_t)l_text;
-  int32_t n_ref = *(const int32_t*)(base + off);
-  off += 4;
-  b->refs.resize(n_ref);
-  for (int i = 0; i < n_ref; ++i) {
-    int32_t l_name = *(const int32_t*)(base + off);
-    off += 4;
-    b->refs[i].name.assign((const char*)base + off, l_name - 1);
-    off += (uint64_t)l_name;
-    b->refs[i].length = *(const int32_t*)(base + off);
-    off += 4;
-    b->ref_ids[b->refs[i].name] = i;
-  }
-  // record index
-  BamRecord r;
-  uint64_t next;
-  while (off < b->data.size() && parse_record_at(*b, off, &r, &next)) {
-    if (r.ref_id >= 0) {
-      RecordIdx ri;
-      ri.ref_id = r.ref_id;
-      ri.start = (int32_t)r.pos;
-      ri.end = (int32_t)(r.pos + ref_span_of(r));
-      ri.off = off;
-      b->index.push_back(ri);
+  };
+
+  while (true) {
+    uint32_t comp_len = 0, infl_len = 0;
+    size_t before = carry.size();
+    {
+      // peek 2 bytes for EOF/magic
+      if (std::fseek(f, (long)file_off, SEEK_SET) != 0) break;
+      uint8_t magic[2];
+      if (std::fread(magic, 1, 2, f) != 2) break;  // clean EOF
+      if (magic[0] != 0x1f || magic[1] != 0x8b) {
+        if (infl_off == 0) return fail();  // not gzip at all
+        break;                              // trailing garbage: stop
+      }
     }
-    off = next;
+    if (!inflate_member(f, file_off, carry, &comp_len, &infl_len)) {
+      if (infl_off == 0) return fail();
+      break;  // truncated tail: keep what we have
+    }
+    (void)before;
+    if (infl_len > 0) {
+      b->blocks.push_back(BgzfBlock{file_off, infl_off, comp_len, infl_len});
+    }
+    file_off += comp_len;
+    infl_off += infl_len;
+
+    // parse whatever is now complete in carry
+    auto avail = [&]() { return carry_base + carry.size() - parse_pos; };
+    auto ptr = [&]() { return carry.data() + (parse_pos - carry_base); };
+    if (!header_done) {
+      // need magic+l_text+text+n_ref+refs; parse opportunistically
+      if (avail() >= 12) {
+        const uint8_t* p = ptr();
+        if (std::memcmp(p, "BAM\1", 4) != 0) return fail();
+        int32_t l_text = *(const int32_t*)(p + 4);
+        uint64_t need = 8 + (uint64_t)l_text + 4;
+        if (avail() >= need) {
+          int32_t n_ref = *(const int32_t*)(p + 8 + l_text);
+          // try to parse the full ref list
+          uint64_t off2 = 12 + (uint64_t)l_text;
+          std::vector<BamRef> refs;
+          bool complete = true;
+          for (int i = 0; i < n_ref; ++i) {
+            if (avail() < off2 + 4) { complete = false; break; }
+            int32_t l_name = *(const int32_t*)(ptr() + off2);
+            if (avail() < off2 + 8 + (uint64_t)l_name) { complete = false; break; }
+            BamRef br;
+            br.name.assign((const char*)ptr() + off2 + 4, l_name - 1);
+            br.length = *(const int32_t*)(ptr() + off2 + 4 + l_name);
+            refs.push_back(std::move(br));
+            off2 += 8 + (uint64_t)l_name;
+          }
+          if (complete) {
+            b->refs = std::move(refs);
+            for (size_t i = 0; i < b->refs.size(); ++i)
+              b->ref_ids[b->refs[i].name] = (int)i;
+            parse_pos += off2;
+            header_done = true;
+          }
+        }
+      }
+    }
+    if (header_done) {
+      while (true) {
+        BamRecord r;
+        uint32_t rec_len;
+        if (!parse_record(ptr(), avail(), &r, &rec_len)) break;
+        if (r.ref_id >= 0) {
+          RecordIdx ri;
+          ri.ref_id = r.ref_id;
+          ri.start = (int32_t)r.pos;
+          ri.end = (int32_t)(r.pos + ref_span_of(r));
+          ri.off = parse_pos;
+          ri.len = rec_len;
+          b->index.push_back(ri);
+        }
+        parse_pos += rec_len;
+      }
+      // drop consumed carry prefix
+      uint64_t consumed = parse_pos - carry_base;
+      if (consumed > (1 << 20)) {
+        carry.erase(carry.begin(), carry.begin() + consumed);
+        carry_base = parse_pos;
+      }
+    }
   }
+  b->total_inflated = infl_off;
+  if (!header_done) return fail();
+
   std::stable_sort(b->index.begin(), b->index.end(),
                    [](const RecordIdx& a, const RecordIdx& c) {
                      return a.ref_id != c.ref_id ? a.ref_id < c.ref_id
                                                  : a.start < c.start;
                    });
+  int n_ref = (int)b->refs.size();
   b->ref_index_begin.assign(n_ref + 1, b->index.size());
   for (size_t i = b->index.size(); i-- > 0;) {
     b->ref_index_begin[b->index[i].ref_id] = i;
@@ -373,8 +497,7 @@ int64_t nsp_bam_pileup_region(
   std::vector<int32_t> col_n((size_t)w, 0);
   // per position: distinct indel observations at mpileup cov_stats
   // granularity — (seq, strand) for insertions, (len, strand) for
-  // deletions. Small linear-scanned vectors (few distinct per site) are
-  // ~6x faster than nested maps on indel-heavy ONT data.
+  // deletions. Small linear-scanned vectors (few distinct per site).
   struct Obs { bool is_del; bool fwd; int32_t len; std::string seq; int count; };
   std::vector<std::vector<Obs>> indel_vec((size_t)w);
 
@@ -393,16 +516,17 @@ int64_t nsp_bam_pileup_region(
     v.push_back(Obs{true, fwd, len, std::string(), 1});
   };
 
-  RegionIter iter(*b, rid->second, start0, end0);
+  RegionIter iter(b, rid->second, start0, end0);
+  if (!iter.ok) return -3;
   BamRecord r;
-  std::string key, seq;
+  std::string seq;
   while (iter.next(&r)) {
     if (r.flag & excl_flags) continue;
     if (r.mapq < min_mq) continue;
     bool fwd = !(r.flag & 16);
     int64_t rpos = r.pos;
     int64_t qpos = 0;
-    int64_t last_base_pos1 = -1;   // 1-based pos of last ref-consuming base
+    int64_t last_base_pos1 = -1;
     bool last_base_counted = false;
     for (uint32_t ci = 0; ci < r.n_cigar; ++ci) {
       uint32_t c = r.cigar[ci];
@@ -415,9 +539,7 @@ int64_t nsp_bam_pileup_region(
             last_base_pos1 = p0 + 1;
             last_base_counted = false;
             if (p0 < start0 || p0 >= end0) {
-              // outside window: treat as counted for indel attachment
-              // (the cap is tracked only inside the window)
-              last_base_counted = true;
+              last_base_counted = true;  // cap tracked only inside window
               continue;
             }
             int64_t x = p0 - start0;
@@ -531,7 +653,8 @@ int64_t nsp_bam_read_matrices(
   if (n_pos <= 0) return 0;
   int64_t lo = positions1[0] - 1, hi = positions1[n_pos - 1];
 
-  RegionIter iter(*b, rid->second, lo, hi);
+  RegionIter iter(b, rid->second, lo, hi);
+  if (!iter.ok) return -3;
   BamRecord r;
   int64_t n_reads = 0;
   while (iter.next(&r)) {
