@@ -48,7 +48,7 @@ def _parse_calls(lines: Iterable[str], snv_only: bool = True):
     for line in lines:
         if not line.strip() or line[0] == "#":
             continue
-        f = line.split("\t")
+        f = line.strip().split("\t")
         ctg, pos, ref, alt = f[0], int(f[1]), f[3], f[4]
         filt = f[6] if len(f) > 6 else "PASS"
         if filt == "RefCall":
@@ -130,3 +130,32 @@ def evaluate_calls(
 
 def _gt_equiv(a: str, b: str) -> bool:
     return sorted(a.split("/")) == sorted(b.split("/"))
+
+
+def genotype_confusion(
+    called_vcf_lines: Iterable[str],
+    truth_vcf_lines: Iterable[str],
+    snv_only: bool = True,
+) -> Dict[str, Dict[str, int]]:
+    """Genotype-level confusion over common sites (the reference's
+    ConfusionMeter analog, train_dev.py:87,269-270): truth GT -> called GT
+    counts, with 'missed'/'spurious' rows for FN/FP sites."""
+    called = _parse_calls(called_vcf_lines, snv_only)
+    truth = _parse_calls(truth_vcf_lines, snv_only)
+    conf: Dict[str, Dict[str, int]] = {}
+
+    def bump(a, b):
+        conf.setdefault(a, {})
+        conf[a][b] = conf[a].get(b, 0) + 1
+
+    for key, t in truth.items():
+        c = called.get(key)
+        t_gt = "/".join(sorted(t[2].split("/")))
+        if c is None:
+            bump(t_gt, "missed")
+        else:
+            bump(t_gt, "/".join(sorted(c[2].split("/"))))
+    for key, c in called.items():
+        if key not in truth:
+            bump("spurious", "/".join(sorted(c[2].split("/"))))
+    return conf

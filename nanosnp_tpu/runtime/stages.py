@@ -253,13 +253,33 @@ def stage_pileup_predict(
 
     n_sites = 0
     t0 = time.monotonic()
-    with open(output_vcf, "w") as out:
+    paths = bins.list_shards(shard_dir)
+
+    # shard-level pipeline: run shard i+1's device inference on a worker
+    # thread while the main thread decodes shard i (host decode and device
+    # compute overlap; one shard in flight bounds memory)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def infer(path):
+        shard = bins.load_pileup_shard(path)
+        if len(shard) == 0:
+            return None
+        gt, zy = predictor.run(shard.matrix.astype(np.float32))
+        return shard, gt, zy
+
+    with open(output_vcf, "w") as out, \
+            ThreadPoolExecutor(max_workers=1) as ex:
         write_vcf_header(ref.fasta_path + ".fai", out)
-        for path in bins.list_shards(shard_dir):
-            shard = bins.load_pileup_shard(path)
-            if len(shard) == 0:
+        pending = []
+        idx = 0
+        while pending or idx < len(paths):
+            while idx < len(paths) and len(pending) < 2:
+                pending.append(ex.submit(infer, paths[idx]))
+                idx += 1
+            res = pending.pop(0).result()
+            if res is None:
                 continue
-            gt, zy = predictor.run(shard.matrix.astype(np.float32))
+            shard, gt, zy = res
             ref_bases = [r.decode()[16] for r in shard.ref_seqs]
             decode_pileup_calls_fast(
                 shard.contig, shard.positions, ref_bases, gt, zy,

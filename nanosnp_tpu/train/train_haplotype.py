@@ -74,6 +74,7 @@ def train_haplotype(
     log_every: int = 50,
     max_steps: Optional[int] = None,
     resume_from: Optional[str] = None,
+    eval_fn=None,
 ) -> TrainState:
     """Loop over batches: dicts with p_/h_ read-matrix arrays + gt/zy labels."""
     os.makedirs(out_dir, exist_ok=True)
@@ -100,6 +101,7 @@ def train_haplotype(
     if resume_from:
         state.step = restored.step
         state.epoch = restored.epoch
+    best_metric = [float("-inf")]
     t0 = time.monotonic()
     for batch in data_iter:
         device_batch = {
@@ -120,6 +122,13 @@ def train_haplotype(
             state.epoch += 1
             save_checkpoint(os.path.join(out_dir, f"epoch_{state.epoch}.ckpt"),
                             state)
+            # best-metric checkpoint retention (reference
+            # train_dev.py:258-281: keeps a best-F1 copy per epoch)
+            if eval_fn is not None:
+                metric = float(eval_fn(state))
+                if metric > best_metric[0]:
+                    best_metric[0] = metric
+                    save_checkpoint(os.path.join(out_dir, "best.ckpt"), state)
         if max_steps and state.step >= max_steps:
             break
     save_checkpoint(os.path.join(out_dir, "last.ckpt"), state,

@@ -78,6 +78,7 @@ def train_pileup(
     log_every: int = 50,
     max_steps: Optional[int] = None,
     resume_from: Optional[str] = None,
+    eval_fn=None,
 ) -> TrainState:
     """Generic loop over an iterator yielding (x [B,33,18], gt [B], zy [B])."""
     os.makedirs(out_dir, exist_ok=True)
@@ -105,6 +106,7 @@ def train_pileup(
     if resume_from:
         state.step = restored.step
         state.epoch = restored.epoch
+    best_metric = [float("-inf")]
     t0 = time.monotonic()
     for x, gt_t, zy_t in data_iter:
         xb = jax.device_put(jnp.asarray(x, jnp.float32), data_sh)
@@ -123,6 +125,13 @@ def train_pileup(
             state.epoch += 1
             save_checkpoint(os.path.join(out_dir, f"epoch_{state.epoch}.ckpt"),
                             state)
+            # best-metric checkpoint retention (reference
+            # train_dev.py:258-281: keeps a best-F1 copy per epoch)
+            if eval_fn is not None:
+                metric = float(eval_fn(state))
+                if metric > best_metric[0]:
+                    best_metric[0] = metric
+                    save_checkpoint(os.path.join(out_dir, "best.ckpt"), state)
         if max_steps and state.step >= max_steps:
             break
     save_checkpoint(os.path.join(out_dir, "last.ckpt"), state,

@@ -101,3 +101,55 @@ def test_end_to_end_f1_on_planted_variants(tmp_path):
     # recall is the important half here (candidate gen + model find the site)
     assert res.recall > 0.8, res.summary()
     assert res.f1 > 0.5, res.summary()
+
+
+def test_genotype_confusion():
+    from nanosnp_tpu.eval.f1 import genotype_confusion
+
+    called = [HDR, _row("c", 10, "A", "C", gt="0/1"),
+              _row("c", 20, "G", "T", gt="1/1"),
+              _row("c", 99, "T", "A", gt="0/1")]
+    truth = [HDR, _row("c", 10, "A", "C", gt="0/1"),
+             _row("c", 20, "G", "T", gt="0/1"),
+             _row("c", 50, "C", "G", gt="1/1")]
+    conf = genotype_confusion(called, truth)
+    assert conf["0/1"]["0/1"] == 1       # correct het
+    assert conf["0/1"]["1/1"] == 1       # genotype error
+    assert conf["1/1"]["missed"] == 1    # FN
+    assert conf["spurious"]["0/1"] == 1  # FP
+
+
+def test_best_checkpoint_retention(tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    import jax
+
+    from nanosnp_tpu.config import PileupModelConfig, TrainConfig
+    from nanosnp_tpu.train import data as D
+    from nanosnp_tpu.train.train_pileup import train_pileup
+
+    rng = np.random.default_rng(5)
+    arrays = D.PileupTrainArrays(
+        rng.integers(-20, 20, (128, 33, 18)).astype(np.int32),
+        np.eye(90, dtype=np.int32)[rng.integers(0, 21, 128)],
+        np.arange(128, dtype=np.int64),
+        np.zeros(128, dtype=bool),
+    )
+    mcfg = PileupModelConfig(hidden_size=8, output_size=16, inner_size=16,
+                             n_layers=1, dropout=0.0)
+    tcfg = TrainConfig(batch_size=32, seed=2)
+    tcfg.optim.type = "adam"
+
+    metrics_seen = []
+
+    def eval_fn(state):
+        metrics_seen.append(len(metrics_seen))
+        return float(len(metrics_seen))  # strictly improving
+
+    with redirect_stdout(io.StringIO()):
+        train_pileup(D.batch_iterator(arrays, 32, rng, epochs=4), mcfg, tcfg,
+                     steps_per_epoch=4, out_dir=str(tmp_path),
+                     max_steps=16, eval_fn=eval_fn)
+    assert len(metrics_seen) >= 3
+    assert (tmp_path / "best.ckpt").exists()
