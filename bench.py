@@ -47,14 +47,16 @@ def _params_and_cfg():
     return params, cfg
 
 
-def _timed(params, cfg, use_pallas: bool, iters: int) -> float:
+def _make_many(params, cfg, use_pallas: bool):
     import jax
     import jax.numpy as jnp
 
     from nanosnp_tpu.models.pileup_model import pileup_predict
 
     @jax.jit
-    def many(p, x):
+    def many(p, x, iters):
+        # traced trip count -> ONE compile serves both the 1-iteration
+        # (relay-RTT baseline) and the K-iteration timing run
         def body(_, carry):
             x, acc = carry
             gt, zy = pileup_predict(p, x + acc * 1e-3, cfg,
@@ -68,13 +70,27 @@ def _timed(params, cfg, use_pallas: bool, iters: int) -> float:
     x = jnp.asarray(
         np.random.default_rng(0).integers(-40, 40, (BATCH, 33, 18)),
         jnp.float32)
-    float(many(params, x))  # warmup + compile
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(many(params, x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return many, x
+
+
+def _variant_rate(params, cfg, use_pallas: bool) -> float:
+    import jax.numpy as jnp
+
+    many, x = _make_many(params, cfg, use_pallas)
+
+    def run(iters):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(many(params, x, jnp.int32(iters)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(many(params, x, jnp.int32(1)))  # warmup + single compile
+    t1 = run(1)
+    tk = run(ITERS + 1)
+    per_step = max((tk - t1) / ITERS, 1e-9)
+    return BATCH / per_step
 
 
 def bench_tpu() -> float:
@@ -82,17 +98,14 @@ def bench_tpu() -> float:
 
     params, cfg = _params_and_cfg()
     on_tpu = jax.devices()[0].platform == "tpu"
-    variants = [True, False] if on_tpu else [False]
-    best_rate = 0.0
-    for use_pallas in variants:
+    # the Pallas recurrence is the production inference path on TPU; fall
+    # back to the scan path off-TPU or if the kernel fails to build
+    for use_pallas in ([True, False] if on_tpu else [False]):
         try:
-            t1 = _timed(params, cfg, use_pallas, 1)
-            tk = _timed(params, cfg, use_pallas, ITERS + 1)
-            per_step = max((tk - t1) / ITERS, 1e-9)
-            best_rate = max(best_rate, BATCH / per_step)
-        except Exception as e:  # pallas path may be unavailable
+            return _variant_rate(params, cfg, use_pallas)
+        except Exception as e:
             sys.stderr.write(f"bench variant pallas={use_pallas} failed: {e}\n")
-    return best_rate
+    return 0.0
 
 
 def bench_torch_cpu() -> float:

@@ -224,3 +224,33 @@ def test_corrupt_bam_files_fail_cleanly(tmp_path):
         else:
             with pytest.raises(NativeUnavailable):
                 BamFile(str(p))
+
+
+@pytest.mark.slow
+def test_long_fuzz_campaign(tmp_path):
+    """Broad randomized sweep: BAM engine vs mpileup simulation + text
+    parser across varied coverage/error/indel regimes and HP tagging."""
+    for seed in range(200, 220):
+        rng = np.random.default_rng(seed)
+        length = int(rng.integers(300, 1200))
+        genome = random_genome(rng, {"chrF": length})
+        seq = np.frombuffer(genome["chrF"].encode(), dtype=np.uint8).copy()
+        reads = random_reads(rng, genome["chrF"], 0,
+                             n_reads=int(rng.integers(10, 150)),
+                             read_len=int(rng.integers(50, 300)),
+                             with_hp=bool(rng.random() < 0.5),
+                             mq_range=(0, 60))
+        bam_path = tmp_path / f"f{seed}.bam"
+        write_bam(str(bam_path), [("chrF", length)], reads)
+        want = parse_mpileup_native(
+            ("\n".join(simulate_mpileup(genome, {"chrF": reads})) + "\n"
+             ).encode(), "chrF", seq)
+        with BamFile(str(bam_path)) as bam:
+            got = bam.pileup_region("chrF", 0, length, seq)
+            # also exercise an interior region window
+            s = int(rng.integers(0, max(length - 100, 1)))
+            sub = bam.pileup_region("chrF", s, min(s + 100, length), seq)
+        _assert_same(got, want)
+        inside = (want.positions > s) & (want.positions <= min(s + 100, length))
+        np.testing.assert_array_equal(sub.positions, want.positions[inside])
+        np.testing.assert_array_equal(sub.counts, want.counts[inside])
