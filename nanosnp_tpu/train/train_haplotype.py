@@ -101,6 +101,10 @@ def train_haplotype(
     if resume_from:
         state.step = restored.step
         state.epoch = restored.epoch
+    from ..utils.profiling import count_parameters
+
+    print(f"[{__name__.split('.')[-1]}] model parameters: "
+          f"{count_parameters(_fast(state.params)):,}")
     best_metric = [float("-inf")]
     t0 = time.monotonic()
     for batch in data_iter:

@@ -106,6 +106,10 @@ def train_pileup(
     if resume_from:
         state.step = restored.step
         state.epoch = restored.epoch
+    from ..utils.profiling import count_parameters
+
+    print(f"[{__name__.split('.')[-1]}] model parameters: "
+          f"{count_parameters(_fast(state.params)):,}")
     best_metric = [float("-inf")]
     t0 = time.monotonic()
     for x, gt_t, zy_t in data_iter:

@@ -51,3 +51,13 @@ class StageTimer:
                 entry["items_per_s"] = round(self.items[name] / sec, 1)
             out[name] = entry
         return out
+
+
+def count_parameters(params) -> int:
+    """Total parameter count of a pytree (the reference's
+    utils.count_parameters analog)."""
+    import jax
+    import numpy as np
+
+    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(params)
+                   if hasattr(x, "shape")))

@@ -110,7 +110,7 @@ def test_haplotype_stage_rescues_low_quality_calls(tmp_path):
                                 steps_per_epoch=10**9,
                                 out_dir=str(tmp_path / "hap_train"),
                                 log_every=50, max_steps=700)
-    logs = buf.getvalue().splitlines()
+    logs = [l for l in buf.getvalue().splitlines() if "loss " in l]
     first = float(logs[0].split("loss ")[1].split()[0])
     last = float(logs[-1].split("loss ")[1].split()[0])
     assert last < first

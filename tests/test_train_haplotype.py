@@ -55,7 +55,7 @@ def test_train_haplotype_smoke(tmp_path):
             _batches(rng, 50, 16, 10, mcfg), mcfg, tcfg,
             steps_per_epoch=10**9, out_dir=str(tmp_path), log_every=5,
             max_steps=50)
-    logs = buf.getvalue().splitlines()
+    logs = [l for l in buf.getvalue().splitlines() if "loss " in l]
     first = float(logs[0].split("loss ")[1].split()[0])
     last = float(logs[-1].split("loss ")[1].split()[0])
     assert last < first, (first, last)

@@ -114,7 +114,7 @@ def test_train_arrays_and_smoke_training(tmp_path):
                              out_dir=str(tmp_path), log_every=5,
                              max_steps=60)
     assert state.step == 60
-    logs = buf.getvalue().splitlines()
+    logs = [l for l in buf.getvalue().splitlines() if "loss " in l]
     first = float(logs[0].split("loss ")[1].split()[0])
     last = float(logs[-1].split("loss ")[1].split()[0])
     assert last < first, (first, last)
