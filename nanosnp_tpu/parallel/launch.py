@@ -82,6 +82,59 @@ def host_contigs(plan: HostPlan, contig_lengths: Dict[str, int]) -> List[str]:
     return shards[plan.host_id]
 
 
+def barrier(name: str = "nsp_barrier") -> None:
+    """Cross-host synchronization point (no-op single host).
+
+    Uses the JAX coordination service (the same channel
+    jax.distributed.initialize set up), so it works on CPU/TPU alike —
+    this replaces the reference's implicit barrier of `wait`-ing for GNU
+    parallel jobs (scripts/s3_phasing_long_reads.sh:35-69)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def merge_host_vcfs(host_paths: Sequence[str], output_path: str) -> int:
+    """Merge per-host VCFs (disjoint contig sets) into one contig-ordered
+    VCF. Host files may arrive in any order; rows are re-sorted by
+    (contig order, position) — the reference's sortvcf.py semantics.
+    Returns body row count."""
+    from ..decode.sort import sort_vcf_lines
+
+    lines: list = []
+    for path in host_paths:
+        with open(path) as f:
+            lines.extend(f)
+    out_lines = sort_vcf_lines(lines)
+    with open(output_path, "w") as out:
+        out.writelines(out_lines)
+    return sum(1 for l in out_lines if not l.startswith("#"))
+
+
+def merge_host_csvs(host_paths: Sequence[str], output_path: str) -> int:
+    """Merge per-host haplotype CSVs (`ctg\\tpos\\t...` rows, no header)
+    into contig order."""
+    rows = []
+    for path in host_paths:
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                cols = line.split("\t", 2)
+                rows.append(((contig_sort_key(cols[0]), int(cols[1])), line))
+    rows.sort(key=lambda kv: kv[0])
+    with open(output_path, "w") as out:
+        for _, line in rows:
+            out.write(line)
+    return len(rows)
+
+
 def gather_vcf_shards(
     shard_paths: Sequence[str],
     output_path: str,

@@ -18,7 +18,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               axis: str = "data") -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())
+    """Default mesh = this process's local devices. Under multi-host
+    (jax.distributed) each host runs an independent inference mesh over its
+    own contig shard — batches never cross DCN; only barriers and the final
+    file gather do (parallel/launch.py)."""
+    devices = list(devices if devices is not None else jax.local_devices())
     return Mesh(np.array(devices), (axis,))
 
 

@@ -60,6 +60,17 @@ def main(argv=None):
     p.add_argument("--contigs", nargs="*", default=None)
     p.add_argument("--coverage", type=int, default=30)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--allow-unphased", action="store_true",
+                   help="proceed through s4/s5 with untagged reads when "
+                        "whatshap is unavailable (degrades haplotype "
+                        "features; off by default)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(or env NSP_COORDINATOR)")
+    p.add_argument("--num-hosts", type=int, default=None,
+                   help="multi-host: total process count (or NSP_NUM_PROCS)")
+    p.add_argument("--host-id", type=int, default=None,
+                   help="multi-host: this process's id (or NSP_PROC_ID)")
 
     p = sub.add_parser("s1-features")
     _add_common(p)
@@ -284,35 +295,56 @@ def _run_train_haplotype(args, cfg) -> int:
     return 0
 
 
-def _ensure_mpileup_dir(args, cfg) -> str:
+def _ensure_mpileup_dir(args, cfg, work_dir=None, contigs=None) -> str:
     if getattr(args, "mpileup_dir", None):
         return args.mpileup_dir
-    out = os.path.join(args.output, "chr_mpileup")
+    work_dir = work_dir or args.output
+    contigs = contigs if contigs is not None else args.contigs
+    out = os.path.join(work_dir, "chr_mpileup")
     if getattr(args, "mpileup", None):
         if not os.path.isdir(out) or not os.listdir(out):
-            stages.split_mpileup_by_contig(args.mpileup, out, args.contigs)
+            stages.split_mpileup_by_contig(args.mpileup, out, contigs)
         return out
     if getattr(args, "bam", None):
         from . import external
 
-        mp = os.path.join(args.output, "pileup_data.mpileup")
+        mp = os.path.join(work_dir, "pileup_data.mpileup")
         if not os.path.exists(mp):
             fc = cfg.pileup_feature
             external.run_mpileup(args.bam, args.ref, mp,
                                  min_mq=fc.mpileup_min_mq,
                                  max_depth=fc.mpileup_max_depth,
                                  excl_flags=fc.mpileup_excl_flags)
-        stages.split_mpileup_by_contig(mp, out, args.contigs)
+        stages.split_mpileup_by_contig(mp, out, contigs)
         return out
     raise SystemExit("one of --mpileup-dir / --mpileup / --bam is required")
 
 
 def _run_call(args, cfg) -> int:
+    from ..parallel.launch import (barrier, host_contigs,
+                                   initialize_distributed, merge_host_csvs,
+                                   merge_host_vcfs)
+
+    plan = initialize_distributed(
+        coordinator_address=getattr(args, "coordinator", None),
+        num_processes=getattr(args, "num_hosts", None),
+        process_id=getattr(args, "host_id", None))
     ref = FastaReference(args.ref)
-    contigs = args.contigs or [c for c in ALL_CHROMS if c in ref.by_name]
-    runner = PipelineRunner(args.output)
-    shard_dir = os.path.join(args.output, "pileup_shards")
-    pileup_vcf = os.path.join(args.output, "pileup.vcf")
+    all_contigs = args.contigs or [c for c in ALL_CHROMS if c in ref.by_name]
+    if plan.n_hosts > 1:
+        # deterministic LPT contig fan-out over hosts (each host computes the
+        # same plan; the reference's GNU-parallel chromosome fan-out at
+        # process level, scripts/s3_phasing_long_reads.sh:35-69)
+        contigs = host_contigs(
+            plan, {c: ref.length(c) for c in all_contigs})
+        work_dir = os.path.join(args.output, f"host{plan.host_id}")
+    else:
+        contigs = all_contigs
+        work_dir = args.output
+    os.makedirs(work_dir, exist_ok=True)
+    runner = PipelineRunner(work_dir)
+    shard_dir = os.path.join(work_dir, "pileup_shards")
+    pileup_vcf = os.path.join(work_dir, "pileup.vcf")
 
     def s1(**kw):
         if args.bam:
@@ -320,7 +352,8 @@ def _run_call(args, cfg) -> int:
             return stages.stage_pileup_features_from_bam(
                 cfg, ref, args.bam, shard_dir, contigs)
         return stages.stage_pileup_features(
-            cfg, ref, _ensure_mpileup_dir(args, cfg), shard_dir, contigs)
+            cfg, ref, _ensure_mpileup_dir(args, cfg, work_dir, contigs),
+            shard_dir, contigs)
 
     stage_list = [
         Stage("s1_pileup_features", s1, "BAM/mpileup -> candidate windows"),
@@ -334,22 +367,32 @@ def _run_call(args, cfg) -> int:
         from . import external
         from .extract import NativeBamExtractor
 
-        hap_shards = os.path.join(args.output, "haplotype_shards")
-        hap_csv = os.path.join(args.output, "haplotype.csv")
-        merge_vcf = os.path.join(args.output, "merge.vcf")
+        hap_shards = os.path.join(work_dir, "haplotype_shards")
+        hap_csv = os.path.join(work_dir, "haplotype.csv")
+        merge_vcf = os.path.join(work_dir, "merge.vcf")
         tag_dir_holder = {}
 
         def s3(**kw):
             if not args.bam:
                 raise SystemExit("stages s3-s5 need --bam")
             if not external.have("whatshap"):
-                # no phaser available: proceed unphased (HP tags absent ->
-                # every read lands in the 'unphased' feature group)
+                # No phaser available. Unphased reads degrade the haplotype
+                # features (every read lands in the 'unphased' group), so
+                # this is opt-in — the reference hard-depends on whatshap
+                # (scripts/s3_phasing_long_reads.sh:48-69).
+                if not getattr(args, "allow_unphased", False):
+                    raise SystemExit(
+                        "whatshap not found: s3 phasing is impossible. "
+                        "Install whatshap, or pass --allow-unphased to run "
+                        "s4/s5 with every read in the unphased group "
+                        "(reduced accuracy), or drop --haplotype-model to "
+                        "stop after the pileup stage.")
                 tag_dir_holder["paths"] = {c: args.bam for c in contigs}
-                return {"phased": 0, "note": "whatshap unavailable"}
+                return {"phased": 0, "unphased_fallback": True,
+                        "note": "whatshap unavailable (--allow-unphased)"}
             from ..decode.sort import select_phasing_hetesnps
 
-            work = os.path.join(args.output, "phase_work")
+            work = os.path.join(work_dir, "phase_work")
             os.makedirs(work, exist_ok=True)
             with open(pileup_vcf) as f:
                 header, per_contig = select_phasing_hetesnps(
@@ -374,7 +417,7 @@ def _run_call(args, cfg) -> int:
             paths = tag_dir_holder.get("paths")
             if not paths:
                 # resumed run: pick up previously haplotagged BAMs if present
-                tag_dir = os.path.join(args.output, "phase_work",
+                tag_dir = os.path.join(work_dir, "phase_work",
                                        "haplotag_out")
                 if os.path.isdir(tag_dir) and os.listdir(tag_dir):
                     paths = {f[:-4]: os.path.join(tag_dir, f)
@@ -409,6 +452,25 @@ def _run_call(args, cfg) -> int:
                   "merge calls"),
         ]
     runner.run(stage_list, resume=not args.no_resume)
+
+    if plan.n_hosts > 1:
+        # all hosts finished their contig shard; host 0 gathers the final
+        # artifacts in global contig order (reference: file concatenation of
+        # per-chromosome outputs; here sortvcf.py-ordered merge)
+        barrier("nsp_call_gather")
+        if plan.host_id == 0:
+            host_dirs = [os.path.join(args.output, f"host{h}")
+                         for h in range(plan.n_hosts)]
+            for name, merge_fn in (("pileup.vcf", merge_host_vcfs),
+                                   ("merge.vcf", merge_host_vcfs),
+                                   ("haplotype.csv", merge_host_csvs)):
+                paths = [os.path.join(d, name) for d in host_dirs
+                         if os.path.exists(os.path.join(d, name))]
+                if paths:
+                    n = merge_fn(paths, os.path.join(args.output, name))
+                    runner.log.info("gathered %s: %d rows from %d hosts",
+                                    name, n, len(paths))
+        barrier("nsp_call_done")
     return 0
 
 
