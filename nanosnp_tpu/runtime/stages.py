@@ -323,25 +323,63 @@ def stage_haplotype_features(
     with open(pileup_vcf) as f:
         sites = collect_sites(f, hf.low_quality_threshold)
     n_groups = 0
+    n_shards = 0
     for ctg in sorted(sites, key=C.contig_sort_key):
         groups = build_groups(sites[ctg], hf.adjacent_size,
                               hf.low_quality_threshold, hf.hete_support_quality)
         if len(groups) == 0:
             continue
-        seq = ref.contig(ctg)
-        for ci, chunk in enumerate(chunk_groups(groups)):
+        # consolidate extraction chunks into one shard per (contig,
+        # depth-bucket pair): depths pad up to the bucket so chunks with
+        # similar depth concatenate, giving s5 large batches instead of
+        # one <=100-site file per chunk (reference predict_dev.py:33
+        # batches 1000 across a whole bin file; we batch 8k+ across the
+        # contig)
+        pools: Dict[tuple, List[bins.HaplotypeShard]] = {}
+        for chunk in chunk_groups(groups):
             mats = extractor(ctg, chunk, hf.pileup_flanking_size)
             if mats is None:
                 continue
             shard = _pack_haplotype_shard(ctg, chunk, mats, hf)
             if shard is None:
                 continue
-            start = int(shard.candidate_positions[0])
-            end = int(shard.candidate_positions[-1])
-            bins.save_haplotype_shard(
-                os.path.join(out_dir, f"{ctg}_{start}_{end}.npz"), shard)
+            key = (_bucket(shard.pileup["sequences"].shape[1]),
+                   _bucket(shard.haplotype["sequences"].shape[1]))
+            pools.setdefault(key, []).append(shard)
             n_groups += len(shard)
-    return {"groups": n_groups}
+        for (dpb, dhb), shards in pools.items():
+            merged = _concat_haplotype_shards(ctg, shards, dpb, dhb)
+            bins.save_haplotype_shard(
+                os.path.join(out_dir, f"{ctg}_d{dpb}x{dhb}.npz"), merged)
+            n_shards += 1
+    return {"groups": n_groups, "shards": n_shards}
+
+
+def _concat_haplotype_shards(ctg: str, shards: List[bins.HaplotypeShard],
+                             dp_bucket: int, dh_bucket: int) -> bins.HaplotypeShard:
+    """Concatenate chunk shards, padding each view's depth (axis 1) up to
+    the shared bucket with the -2 pad value."""
+    def cat(view: str, bucket: int) -> Dict[str, np.ndarray]:
+        out = {}
+        for k in bins._KEYS:
+            parts = []
+            for s in shards:
+                a = getattr(s, view)[k]
+                if a.shape[1] < bucket:
+                    a = np.pad(a, ((0, 0), (0, bucket - a.shape[1]), (0, 0)),
+                               constant_values=C.PAD_VALUE)
+                parts.append(a)
+            out[k] = np.concatenate(parts)
+        return out
+
+    return bins.HaplotypeShard(
+        contig=ctg,
+        candidate_positions=np.concatenate(
+            [s.candidate_positions for s in shards]),
+        group_positions=np.concatenate([s.group_positions for s in shards]),
+        pileup=cat("pileup", dp_bucket),
+        haplotype=cat("haplotype", dh_bucket),
+    )
 
 
 def _pack_haplotype_shard(ctg, groups, mats, hf) -> Optional[bins.HaplotypeShard]:
@@ -403,43 +441,100 @@ def stage_haplotype_predict(
         return haplotype_predict(p, xp, xh, hcfg, compute_dtype=compute_dtype,
                                  use_pallas=use_pallas)
 
-    # depth is ragged across shards: pad to buckets so jit compiles once per
-    # bucket pair (the jit cache keys on shapes)
-    predictor = BatchedPredictor(fn, params, batch_size=cfg.inference.batch_size)
+    # Depth is ragged across shards: pad to buckets so jit compiles once
+    # per bucket pair, and POOL rows across shards/contigs per bucket pair
+    # so every device step sees a full batch (round-1 review finding: the
+    # old per-shard dispatch padded <=100-site chunks to the full batch,
+    # ~80x wasted BiLSTM compute). Remainders are carried between shards
+    # and flushed once per bucket pair at the end.
+    predictors: Dict[tuple, BatchedPredictor] = {}
+
+    def get_predictor(dp_b: int) -> BatchedPredictor:
+        bs = _depth_scaled_batch(cfg.inference.batch_size, dp_b)
+        if bs not in predictors:
+            predictors[bs] = BatchedPredictor(fn, params, batch_size=bs)
+        return predictors[bs]
+
+    pools: Dict[tuple, Dict] = {}
+    results: List[tuple] = []   # ((contig_key, pos), csv_line)
     n_sites = 0
     t0 = time.monotonic()
+
+    def run_rows(dp_b, args, meta):
+        gt, _zy = get_predictor(dp_b).run(*args)
+        gt_arg = gt.argmax(axis=1)
+        gt_max = gt.max(axis=1)
+        for j, (ctg, pos) in enumerate(meta):
+            qual = calculate_score(float(gt_max[j]))
+            results.append(((C.contig_sort_key(ctg), pos),
+                            f"{ctg}\t{pos}\t{C.GT21_LABELS[gt_arg[j]]}\t{qual}\n"))
+
+    def flush(key, final: bool) -> None:
+        pool = pools[key]
+        n = len(pool["meta"])
+        if n == 0:
+            return
+        bs = get_predictor(key[0]).batch_size
+        keep = 0 if final else n % bs
+        run_n = n - keep
+        if run_n == 0:
+            return
+        args = [np.concatenate([c[i] for c in pool["chunks"]])
+                for i in range(len(pool["chunks"][0]))]
+        run_rows(key[0], [a[:run_n] for a in args], pool["meta"][:run_n])
+        pool["meta"] = pool["meta"][run_n:]
+        pool["chunks"] = ([[a[run_n:] for a in args]] if keep else [])
+
+    for path in bins.list_shards(shard_dir):
+        shard = bins.load_haplotype_shard(path)
+        if len(shard) == 0:
+            continue
+        seq = ref.contig(shard.contig)
+        dp_b = _bucket(shard.pileup["sequences"].shape[1])
+        dh_b = _bucket(shard.haplotype["sequences"].shape[1])
+        f32 = np.float32
+        args = []
+        for view, db in (("pileup", dp_b), ("haplotype", dh_b)):
+            d = getattr(shard, view)
+            pad = ((0, 0), (0, db - d["sequences"].shape[1]), (0, 0))
+            for k in bins._KEYS:
+                args.append(np.pad(d[k], pad,
+                                   constant_values=C.PAD_VALUE).astype(f32))
+            if view == "pileup":
+                args.append(ref_window_codes(
+                    seq, shard.candidate_positions,
+                    cfg.haplotype_feature.pileup_flanking_size))
+            else:
+                args.append(ref_position_codes(seq, shard.group_positions))
+        key = (dp_b, dh_b)
+        pool = pools.setdefault(key, {"chunks": [], "meta": []})
+        pool["chunks"].append(args)
+        pool["meta"].extend(
+            (shard.contig, int(p)) for p in shard.candidate_positions)
+        n_sites += len(shard)
+        if len(pool["meta"]) >= get_predictor(dp_b).batch_size:
+            flush(key, final=False)
+    for key in list(pools):
+        flush(key, final=True)
+
+    results.sort(key=lambda kv: kv[0])
     with open(output_csv, "w") as out:
-        for path in bins.list_shards(shard_dir):
-            shard = bins.load_haplotype_shard(path)
-            if len(shard) == 0:
-                continue
-            seq = ref.contig(shard.contig)
-            dp_b = _bucket(shard.pileup["sequences"].shape[1])
-            dh_b = _bucket(shard.haplotype["sequences"].shape[1])
-            f32 = np.float32
-            args = []
-            for view, db in (("pileup", dp_b), ("haplotype", dh_b)):
-                d = getattr(shard, view)
-                pad = ((0, 0), (0, db - d["sequences"].shape[1]), (0, 0))
-                for k in bins._KEYS:
-                    args.append(np.pad(d[k], pad,
-                                       constant_values=C.PAD_VALUE).astype(f32))
-                if view == "pileup":
-                    args.append(ref_window_codes(
-                        seq, shard.candidate_positions,
-                        cfg.haplotype_feature.pileup_flanking_size))
-                else:
-                    args.append(ref_position_codes(seq, shard.group_positions))
-            gt, zy = predictor.run(*args)
-            gt_arg = gt.argmax(axis=1)
-            gt_max = gt.max(axis=1)
-            for j in range(len(shard)):
-                qual = calculate_score(float(gt_max[j]))
-                out.write(f"{shard.contig}\t{int(shard.candidate_positions[j])}\t"
-                          f"{C.GT21_LABELS[gt_arg[j]]}\t{qual}\n")
-            n_sites += len(shard)
+        for _, line in results:
+            out.write(line)
     dt = time.monotonic() - t0
     return {"sites": n_sites, "sites_per_s": round(n_sites / dt, 1) if dt else 0}
+
+
+def _depth_scaled_batch(batch_size: int, depth_bucket: int,
+                        ref_depth: int = 128, floor: int = 512) -> int:
+    """Scale the device batch down for deep buckets so activation memory
+    stays roughly constant (batch*depth product), keeping a floor for MXU
+    efficiency. Result stays a multiple of `floor` (which the mesh size
+    divides)."""
+    if depth_bucket <= ref_depth:
+        return batch_size
+    scaled = max(batch_size * ref_depth // depth_bucket, floor)
+    return max(scaled // floor, 1) * floor
 
 
 def _bucket(d: int, buckets=(16, 32, 48, 64, 96, 128, 192, 256, 384, 512)) -> int:
