@@ -101,6 +101,16 @@ class TrainConfig:
     batch_size: int = 2000
     epochs: int = 200
     seed: int = 2022
+    # per-(gt,zy)-class upsampling (reference dataset.py balance_dataset)
+    use_balance: bool = False
+    # held-out fraction when no explicit dev set (reference train.py:176-181
+    # does a 90/10 file split)
+    val_fraction: float = 0.1
+    # freeze stages: from epoch `first_stage` on, parameters whose top-level
+    # key starts with one of `freeze_prefixes` stop updating (reference
+    # train.py:223-230 first_stage encoder/forward freeze)
+    first_stage: Optional[int] = None
+    freeze_prefixes: tuple = ("encoder",)
     optim: OptimConfig = field(default_factory=OptimConfig)
 
 

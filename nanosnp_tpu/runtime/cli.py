@@ -110,6 +110,13 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--use-balance", action="store_true",
+                   help="per-(gt,zy)-class upsampling per epoch")
+    p.add_argument("--val-fraction", type=float, default=None,
+                   help="held-out fraction for per-epoch validation "
+                        "(default cfg.train.val_fraction)")
+    p.add_argument("--first-stage", type=int, default=None,
+                   help="freeze encoder params from this epoch on")
 
     p = sub.add_parser("train-haplotype")
     _add_common(p)
@@ -121,6 +128,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--pn-value", type=float, default=0.7)
     p.add_argument("--resume", default=None)
+    p.add_argument("--val-fraction", type=float, default=None,
+                   help="held-out shard fraction for per-epoch validation")
+    p.add_argument("--first-stage", type=int, default=None)
 
     args = parser.parse_args(argv)
 
@@ -236,25 +246,60 @@ def _run_train_pileup(args, cfg) -> int:
     from ..train import data as D
     from ..train.train_pileup import train_pileup
 
-    paths = list_shards(args.data)
-    arrays = [D.load_train_arrays(p) for p in paths]
-    merged = D.PileupTrainArrays(
-        np.concatenate([a.matrix for a in arrays]),
-        np.concatenate([a.label for a in arrays]),
-        np.concatenate([a.positions for a in arrays]),
-        np.concatenate([a.is_variant for a in arrays]),
-    )
     tcfg = cfg.train
     if args.batch_size:
         tcfg.batch_size = args.batch_size
+    if args.use_balance:
+        tcfg.use_balance = True
+    if args.val_fraction is not None:
+        tcfg.val_fraction = args.val_fraction
+    if args.first_stage is not None:
+        tcfg.first_stage = args.first_stage
     epochs = args.epochs or tcfg.epochs
-    steps_per_epoch = max(len(merged.positions) // tcfg.batch_size, 1)
     rng = np.random.default_rng(tcfg.seed)
+
+    # 90/10 split at shard (file) level like the reference when several
+    # shards exist (train.py:176-181), else at row level
+    paths = list_shards(args.data)
+    train_paths, val_paths = D.split_train_val(paths, tcfg.val_fraction, rng)
+
+    def merge(ps):
+        arrays = [D.load_train_arrays(p) for p in ps]
+        return D.PileupTrainArrays(
+            np.concatenate([a.matrix for a in arrays]),
+            np.concatenate([a.label for a in arrays]),
+            np.concatenate([a.positions for a in arrays]),
+            np.concatenate([a.is_variant for a in arrays]),
+        )
+
+    if val_paths:
+        train_arrays, val_arrays = merge(train_paths), merge(val_paths)
+    else:
+        all_arrays = merge(paths)
+        n = len(all_arrays.positions)
+        tr_idx, va_idx = D.split_train_val(range(n), tcfg.val_fraction, rng)
+        def take(idx):
+            idx = np.asarray(idx)
+            return D.PileupTrainArrays(
+                all_arrays.matrix[idx], all_arrays.label[idx],
+                all_arrays.positions[idx], all_arrays.is_variant[idx])
+        train_arrays = take(tr_idx) if va_idx else all_arrays
+        val_arrays = take(va_idx) if va_idx else None
+
+    steps_hint = max(len(train_arrays.positions) // tcfg.batch_size, 1)
+    val_factory = None
+    if val_arrays is not None and len(val_arrays.positions):
+        val_factory = lambda: D.batch_iterator(
+            val_arrays, tcfg.batch_size, np.random.default_rng(0),
+            epochs=1, drop_last=False)
     state = train_pileup(
-        D.batch_iterator(merged, tcfg.batch_size, rng, epochs=epochs),
-        cfg.pileup_model, tcfg, steps_per_epoch,
-        os.path.join(args.output, "pileup_train"),
-        resume_from=args.resume)
+        D.batch_iterator(train_arrays, tcfg.batch_size, rng, epochs=epochs,
+                         use_balance=tcfg.use_balance, mark_epochs=True),
+        cfg.pileup_model, tcfg, steps_per_epoch=None,
+        out_dir=os.path.join(args.output, "pileup_train"),
+        resume_from=args.resume,
+        val_iter_factory=val_factory,
+        lr_steps_per_epoch=steps_hint)
     print({"steps": state.step, "epochs": state.epoch})
     return 0
 
@@ -278,19 +323,33 @@ def _run_train_haplotype(args, cfg) -> int:
 
     tcfg = cfg.train
     tcfg.batch_size = args.batch_size
+    if args.val_fraction is not None:
+        tcfg.val_fraction = args.val_fraction
+    if args.first_stage is not None:
+        tcfg.first_stage = args.first_stage
     epochs = args.epochs or 30
-    paths = list_shards(args.shards)
     rng = np.random.default_rng(tcfg.seed)
-    # one counting pass for steps_per_epoch
-    n_batches = sum(1 for _ in D.haplotype_train_iterator(
-        paths, truth_arrays, tcfg.batch_size, np.random.default_rng(0),
-        epochs=1, pn_value=args.pn_value))
+    paths = list_shards(args.shards)
+    train_paths, val_paths = D.split_train_val(paths, tcfg.val_fraction, rng)
+
+    # lr-decay schedule hint: total candidate count from shard metadata
+    # (loads one small array per shard — NOT the old full counting pass)
+    n_sites = sum(len(np.load(p)["candidate_positions"]) for p in train_paths)
+    steps_hint = max(n_sites // tcfg.batch_size, 1)
+    val_factory = None
+    if val_paths:
+        val_factory = lambda: D.haplotype_train_iterator(
+            val_paths, truth_arrays, tcfg.batch_size,
+            np.random.default_rng(0), epochs=1, pn_value=args.pn_value)
     state = train_haplotype(
-        D.haplotype_train_iterator(paths, truth_arrays, tcfg.batch_size, rng,
-                                   epochs=epochs, pn_value=args.pn_value),
-        cfg.haplotype_model, tcfg, max(n_batches, 1),
-        os.path.join(args.output, "haplotype_train"),
-        resume_from=args.resume)
+        D.haplotype_train_iterator(train_paths, truth_arrays, tcfg.batch_size,
+                                   rng, epochs=epochs, pn_value=args.pn_value,
+                                   mark_epochs=True),
+        cfg.haplotype_model, tcfg, steps_per_epoch=None,
+        out_dir=os.path.join(args.output, "haplotype_train"),
+        resume_from=args.resume,
+        val_iter_factory=val_factory,
+        lr_steps_per_epoch=steps_hint)
     print({"steps": state.step, "epochs": state.epoch})
     return 0
 

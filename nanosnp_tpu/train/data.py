@@ -143,6 +143,66 @@ def build_pileup_train_arrays(
     return PileupTrainArrays(matrix.astype(np.int32), label, positions, is_var)
 
 
+def balance_indices(
+    gt: np.ndarray,
+    zy: np.ndarray,
+    rng: Optional[np.random.Generator] = None,
+    n_gt: int = C.NUM_GT21,
+    n_zy: int = C.NUM_ZY,
+) -> np.ndarray:
+    """Per-(gt,zy)-class balancing (reference PileupModel/dataset.py:32-66
+    balance_dataset): upsample every non-empty (gt,zy) cell to the largest
+    cell's size with replacement, then downsample the pooled indices to
+    pool_size / n_nonempty — the expected output size equals the max cell
+    size, with (near-)uniform class mass."""
+    rng = rng or np.random.default_rng()
+    cells = {}
+    max_size = 0
+    for i in range(n_gt):
+        for j in range(n_zy):
+            idx = np.flatnonzero((gt == i) & (zy == j))
+            max_size = max(max_size, len(idx))
+            cells[(i, j)] = idx
+    pooled = []
+    non_zero = 0
+    for key, idx in cells.items():
+        if 0 < len(idx) < max_size:
+            extra = rng.choice(idx, size=max_size - len(idx), replace=True)
+            idx = np.concatenate([idx, extra])
+            non_zero += 1
+        pooled.append(idx)
+    total = np.concatenate(pooled) if pooled else np.zeros(0, np.int64)
+    if len(total) == 0 or non_zero == 0:
+        return total.astype(np.int64)
+    rng.shuffle(total)
+    return rng.choice(total, size=max(len(total) // non_zero, 1))
+
+
+def for_evaluate_indices(zy: np.ndarray) -> np.ndarray:
+    """Variant-only filter for evaluation (dataset.py:100-106: keep
+    zy > 0, i.e. 1/1 and 0/1)."""
+    return np.flatnonzero(zy > 0)
+
+
+def split_train_val(
+    items: Sequence,
+    val_fraction: float = 0.1,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[list, list]:
+    """90/10 split (reference train.py:176-181 splits bin FILES when no dev
+    dir is configured; items may be shard paths or row indices). Always
+    leaves at least one item on each side when len >= 2."""
+    items = list(items)
+    if len(items) < 2 or val_fraction <= 0:
+        return items, []
+    rng = rng or np.random.default_rng()
+    order = rng.permutation(len(items))
+    n_val = min(max(int(round(len(items) * val_fraction)), 1), len(items) - 1)
+    val = [items[i] for i in order[:n_val]]
+    train = [items[i] for i in order[n_val:]]
+    return train, val
+
+
 def decode_90dim_labels(label: np.ndarray) -> Dict[str, np.ndarray]:
     """90-dim one-hots -> class-index arrays (as PileupModel/dataset.py:77-83)."""
     return {
@@ -164,24 +224,45 @@ def attach_haplotype_labels(
     return truth_array[idx].astype(np.int64)
 
 
+# Sentinel yielded between epochs by iterators running with
+# mark_epochs=True; lets the train loops detect epoch boundaries without a
+# separate counting pass over the data (round-1 review finding 7).
+EPOCH_END = object()
+
+
 def batch_iterator(
     arrays: PileupTrainArrays,
     batch_size: int,
     rng: Optional[np.random.Generator] = None,
     epochs: int = 1,
     drop_last: bool = True,
+    use_balance: bool = False,
+    mark_epochs: bool = False,
 ):
-    """Yields (x, gt, zy) minibatches for train_pileup."""
+    """Yields (x, gt, zy) minibatches for train_pileup. With use_balance,
+    indices are re-balanced per epoch over (gt,zy) cells (reference
+    TrainDataset(use_balance=True), dataset.py:84-89)."""
     rng = rng or np.random.default_rng(0)
     dec = decode_90dim_labels(arrays.label)
     n = len(arrays.positions)
     for _ in range(epochs):
-        perm = rng.permutation(n)
-        end = n - (n % batch_size) if drop_last else n
+        if use_balance:
+            perm = balance_indices(dec["gt"], dec["zy"], rng)
+            rng.shuffle(perm)
+        else:
+            perm = rng.permutation(n)
+        end = len(perm) - (len(perm) % batch_size) if drop_last else len(perm)
+        if end == 0 and len(perm):
+            # fewer rows than one batch (tiny/balanced datasets): tile up to
+            # a full static batch so the epoch still trains
+            perm = np.tile(perm, -(-batch_size // len(perm)))[:batch_size]
+            end = batch_size
         for s in range(0, end, batch_size):
             idx = perm[s: s + batch_size]
             yield (arrays.matrix[idx].astype(np.float32), dec["gt"][idx],
                    dec["zy"][idx])
+        if mark_epochs:
+            yield EPOCH_END
 
 
 def save_train_arrays(path: str, arrays: PileupTrainArrays) -> None:
@@ -203,6 +284,7 @@ def haplotype_train_iterator(
     rng: Optional[np.random.Generator] = None,
     epochs: int = 1,
     pn_value: float = 0.7,
+    mark_epochs: bool = False,
 ):
     """Batches for train_haplotype from haplotype shards + truth arrays.
 
@@ -314,6 +396,8 @@ def haplotype_train_iterator(
             yield from split_batches(key)
         for key in list(pools):
             yield from split_batches(key, force=True)
+        if mark_epochs:
+            yield EPOCH_END
 
 
 _REF_SEQS: Dict[str, np.ndarray] = {}

@@ -7,12 +7,17 @@ computed on device inside the train step (haplotype_features), so the input
 pipeline ships compact int read matrices, not 105-float tensors — an
 order-of-magnitude HBM/DCN traffic saving vs the reference's host-side
 featurization.
+
+Per-epoch observability mirrors train_dev.py:87,244-270 (ConfusionMeter,
+scalar history, best-F1 checkpoint): gt/zy confusion + macro-F1 into
+scalars.jsonl; best.ckpt kept on the validation metric. Epoch boundaries
+come from the data.EPOCH_END sentinel — no counting pre-pass over shards.
 """
 from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,23 +29,29 @@ from ..features.haplotype import haplotype_features
 from ..models.haplotype_model import haplotype_forward, init_haplotype_params
 from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .losses import label_smoothing_loss
+from .metrics import MetricsLogger
 from .optim import build_optimizer, wrap_params_for_lookahead
-from .train_pileup import TrainState, _fast, resume_state, save_checkpoint
+from .train_pileup import (EpochMeter, TrainState, _fast, freeze_mask_fn,
+                           resume_state, save_checkpoint)
+
+
+def _featurize(batch):
+    xp = haplotype_features(batch["p_seq"], batch["p_baseq"],
+                            batch["p_mapq"], batch["p_hap"], batch["p_ref"])
+    xh = haplotype_features(batch["h_seq"], batch["h_baseq"],
+                            batch["h_mapq"], batch["h_hap"], batch["h_ref"])
+    return xp, xh
 
 
 def make_haplotype_train_step(mcfg: HaplotypeModelConfig, tcfg: TrainConfig,
                               tx: optax.GradientTransformation,
                               featurize_on_device: bool = True):
     smoothing = tcfg.optim.label_smoothing
+    mask = freeze_mask_fn(tuple(tcfg.freeze_prefixes))
 
     def loss_fn(params, batch, dropout_rng):
         if featurize_on_device:
-            xp = haplotype_features(batch["p_seq"], batch["p_baseq"],
-                                    batch["p_mapq"], batch["p_hap"],
-                                    batch["p_ref"])
-            xh = haplotype_features(batch["h_seq"], batch["h_baseq"],
-                                    batch["h_mapq"], batch["h_hap"],
-                                    batch["h_ref"])
+            xp, xh = _featurize(batch)
         else:
             xp, xh = batch["xp"], batch["xh"]
         gt, zy = haplotype_forward(params, xp, xh, mcfg,
@@ -48,26 +59,55 @@ def make_haplotype_train_step(mcfg: HaplotypeModelConfig, tcfg: TrainConfig,
         gt_loss = label_smoothing_loss(gt, batch["gt"], smoothing)
         zy_loss = label_smoothing_loss(zy, batch["zy"], smoothing)
         loss = gt_loss + zy_loss
-        acc = jnp.mean((gt.argmax(-1) == batch["gt"]).astype(jnp.float32))
+        gt_pred = gt.argmax(-1)
+        acc = jnp.mean((gt_pred == batch["gt"]).astype(jnp.float32))
         return loss, {"loss": loss, "gt_loss": gt_loss, "zy_loss": zy_loss,
-                      "gt_acc": acc}
+                      "gt_acc": acc,
+                      "gt_pred": gt_pred, "zy_pred": zy.argmax(-1)}
 
-    def train_step(params, opt_state, batch, rng):
+    def train_step(params, opt_state, batch, rng, freeze_on):
         rng, sub = jax.random.split(rng)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             _fast(params), batch, sub)
         updates, opt_state = tx.update(grads, opt_state, params)
+        updates = mask(updates, freeze_on)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics, rng
 
     return train_step
 
 
+def make_haplotype_eval_step(mcfg: HaplotypeModelConfig, tcfg: TrainConfig,
+                             featurize_on_device: bool = True):
+    smoothing = tcfg.optim.label_smoothing
+
+    def eval_step(params, batch):
+        if featurize_on_device:
+            xp, xh = _featurize(batch)
+        else:
+            xp, xh = batch["xp"], batch["xh"]
+        gt, zy = haplotype_forward(params, xp, xh, mcfg)
+        loss = (label_smoothing_loss(gt, batch["gt"], smoothing)
+                + label_smoothing_loss(zy, batch["zy"], smoothing))
+        return loss, gt.argmax(-1), zy.argmax(-1)
+
+    return eval_step
+
+
+def _device_batch(batch, data_sh):
+    return {
+        k: jax.device_put(jnp.asarray(
+            v, jnp.float32 if v.dtype.kind in "fiu" and k not in ("gt", "zy")
+            else None), data_sh)
+        for k, v in batch.items()
+    }
+
+
 def train_haplotype(
-    data_iter: Iterator[Dict[str, np.ndarray]],
+    data_iter: Iterator,
     mcfg: HaplotypeModelConfig,
     tcfg: TrainConfig,
-    steps_per_epoch: int,
+    steps_per_epoch: Optional[int],
     out_dir: str,
     init_params=None,
     mesh=None,
@@ -75,8 +115,15 @@ def train_haplotype(
     max_steps: Optional[int] = None,
     resume_from: Optional[str] = None,
     eval_fn=None,
+    val_iter_factory: Optional[Callable[[], Iterator]] = None,
+    lr_steps_per_epoch: Optional[int] = None,
 ) -> TrainState:
-    """Loop over batches: dicts with p_/h_ read-matrix arrays + gt/zy labels."""
+    """Loop over batches (dicts with p_/h_ read-matrix arrays + gt/zy
+    labels) or data.EPOCH_END sentinels. `steps_per_epoch` may be None when
+    the iterator marks epochs; `lr_steps_per_epoch` then feeds the per-epoch
+    lr-decay schedule (an estimate is fine — it only shifts decay onset)."""
+    from .data import EPOCH_END
+
     os.makedirs(out_dir, exist_ok=True)
     mesh = mesh or make_mesh()
     data_sh = shard_batch(mesh)
@@ -85,7 +132,7 @@ def train_haplotype(
     rng = jax.random.key(tcfg.seed)
     params = init_params if init_params is not None else init_haplotype_params(
         jax.random.key(tcfg.seed), mcfg)
-    tx = build_optimizer(tcfg.optim, steps_per_epoch)
+    tx = build_optimizer(tcfg.optim, steps_per_epoch or lr_steps_per_epoch or 1000)
     if tcfg.optim.type.lower().startswith("lookahead"):
         params = wrap_params_for_lookahead(params, True)
     opt_state = tx.init(params)
@@ -97,6 +144,7 @@ def train_haplotype(
 
     step_fn = jax.jit(make_haplotype_train_step(mcfg, tcfg, tx),
                       donate_argnums=(0, 1))
+    eval_step = jax.jit(make_haplotype_eval_step(mcfg, tcfg))
     state = TrainState(params, opt_state)
     if resume_from:
         state.step = restored.step
@@ -105,34 +153,67 @@ def train_haplotype(
 
     print(f"[{__name__.split('.')[-1]}] model parameters: "
           f"{count_parameters(_fast(state.params)):,}")
+    logger = MetricsLogger(out_dir)
+    meter = EpochMeter(mcfg.gt_num_class, mcfg.zy_num_class)
     best_metric = [float("-inf")]
+
+    def run_validation(st: TrainState) -> Optional[Dict[str, float]]:
+        if val_iter_factory is None:
+            return None
+        vm = EpochMeter(mcfg.gt_num_class, mcfg.zy_num_class)
+        for vb in val_iter_factory():
+            if vb is EPOCH_END:
+                continue
+            loss, gtp, zyp = eval_step(_fast(st.params),
+                                       _device_batch(vb, data_sh))
+            vm.update(loss, gtp, vb["gt"], zyp, vb["zy"])
+        return vm.scalars() if vm.batches else None
+
+    def end_epoch(st: TrainState) -> None:
+        st.epoch += 1
+        train_scalars = meter.scalars()
+        logger.log(st.epoch, "train", train_scalars, step=st.step)
+        val_scalars = run_validation(st)
+        if val_scalars is not None:
+            logger.log(st.epoch, "val", val_scalars, step=st.step)
+        print(f"[train_haplotype] epoch {st.epoch}: train {train_scalars}"
+              + (f" val {val_scalars}" if val_scalars else ""))
+        meter.__init__(mcfg.gt_num_class, mcfg.zy_num_class)
+        save_checkpoint(os.path.join(out_dir, f"epoch_{st.epoch}.ckpt"), st)
+        metric = None
+        if eval_fn is not None:
+            metric = float(eval_fn(st))
+        elif val_scalars is not None:
+            metric = val_scalars["gt_macro_f1"]
+        if metric is not None and metric > best_metric[0]:
+            best_metric[0] = metric
+            save_checkpoint(os.path.join(out_dir, "best.ckpt"), st)
+
+    freeze_on = 0.0
     t0 = time.monotonic()
     for batch in data_iter:
-        device_batch = {
-            k: jax.device_put(jnp.asarray(
-                v, jnp.float32 if v.dtype.kind in "fiu" and k not in ("gt", "zy")
-                else None), data_sh)
-            for k, v in batch.items()
-        }
+        if batch is EPOCH_END:
+            end_epoch(state)
+            if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
+                freeze_on = 1.0
+            continue
+        device_batch = _device_batch(batch, data_sh)
         state.params, state.opt_state, metrics, rng = step_fn(
-            state.params, state.opt_state, device_batch, rng)
+            state.params, state.opt_state, device_batch, rng,
+            jnp.float32(freeze_on))
         state.step += 1
+        meter.update(metrics["loss"], metrics["gt_pred"], batch["gt"],
+                     metrics["zy_pred"], batch["zy"])
         if state.step % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
             dt = time.monotonic() - t0
-            print(f"[train_haplotype] step {state.step} loss {m['loss']:.4f} "
-                  f"gt_acc {m['gt_acc']:.4f} ({state.step / dt:.1f} steps/s)")
-        if state.step % steps_per_epoch == 0:
-            state.epoch += 1
-            save_checkpoint(os.path.join(out_dir, f"epoch_{state.epoch}.ckpt"),
-                            state)
-            # best-metric checkpoint retention (reference
-            # train_dev.py:258-281: keeps a best-F1 copy per epoch)
-            if eval_fn is not None:
-                metric = float(eval_fn(state))
-                if metric > best_metric[0]:
-                    best_metric[0] = metric
-                    save_checkpoint(os.path.join(out_dir, "best.ckpt"), state)
+            print(f"[train_haplotype] step {state.step} "
+                  f"loss {float(metrics['loss']):.4f} "
+                  f"gt_acc {float(metrics['gt_acc']):.4f} "
+                  f"({state.step / dt:.1f} steps/s)")
+        if steps_per_epoch and state.step % steps_per_epoch == 0:
+            end_epoch(state)
+            if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
+                freeze_on = 1.0
         if max_steps and state.step >= max_steps:
             break
     save_checkpoint(os.path.join(out_dir, "last.ckpt"), state,

@@ -5,6 +5,12 @@ Lookahead-Adam lr 1e-4 with per-epoch 0.98 decay after epoch 10, grad-clip 20
 (config/ont_pileup.yaml). Training is data-parallel over the mesh's "data"
 axis: batches shard over devices, gradients all-reduce via XLA-inserted
 psum (no NCCL/DataParallel translation).
+
+Observability per epoch (reference train.py:33-38,79-81,214-218): gt/zy
+confusion matrices, accuracy and macro-F1 for train and validation splits,
+appended to scalars.jsonl; best-checkpoint retention on the validation
+metric (train_dev.py:258-281). Freeze-stages via TrainConfig.first_stage
+(train.py:223-230).
 """
 from __future__ import annotations
 
@@ -12,7 +18,7 @@ import os
 import pickle
 import time
 from dataclasses import dataclass
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +29,7 @@ from ..config import PileupModelConfig, TrainConfig
 from ..models.pileup_model import init_pileup_params, pileup_forward
 from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .losses import label_smoothing_loss
+from .metrics import ConfusionAccumulator, MetricsLogger
 from .optim import build_optimizer, wrap_params_for_lookahead
 
 
@@ -34,9 +41,31 @@ class TrainState:
     epoch: int = 0
 
 
+def freeze_mask_fn(freeze_prefixes: Tuple[str, ...]):
+    """Returns a jittable fn (updates, freeze_on_scalar) -> masked updates:
+    leaves under a key containing a freeze pattern are scaled by
+    (1 - freeze_on). Substring match so "encoder" freezes both
+    pileup_encoder and haplotype_encoder; path-aware so it works through
+    the Lookahead fast/slow wrapper."""
+    def is_frozen(path) -> bool:
+        for entry in path:
+            key = getattr(entry, "key", None)
+            if isinstance(key, str) and any(p in key for p in freeze_prefixes):
+                return True
+        return False
+
+    def mask(updates, freeze_on):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, u: u * (1.0 - freeze_on) if is_frozen(path) else u,
+            updates)
+
+    return mask
+
+
 def make_pileup_train_step(mcfg: PileupModelConfig, tcfg: TrainConfig,
                            tx: optax.GradientTransformation):
     smoothing = tcfg.optim.label_smoothing
+    mask = freeze_mask_fn(tuple(tcfg.freeze_prefixes))
 
     def loss_fn(params, x, gt_target, zy_target, dropout_rng):
         gt, zy, _, _ = pileup_forward(params, x, mcfg,
@@ -44,20 +73,36 @@ def make_pileup_train_step(mcfg: PileupModelConfig, tcfg: TrainConfig,
         gt_loss = label_smoothing_loss(gt, gt_target, smoothing)
         zy_loss = label_smoothing_loss(zy, zy_target, smoothing)
         loss = gt_loss + zy_loss
-        acc = jnp.mean((gt.argmax(-1) == gt_target).astype(jnp.float32))
+        gt_pred = gt.argmax(-1)
+        acc = jnp.mean((gt_pred == gt_target).astype(jnp.float32))
         return loss, {"loss": loss, "gt_loss": gt_loss, "zy_loss": zy_loss,
-                      "gt_acc": acc}
+                      "gt_acc": acc,
+                      "gt_pred": gt_pred, "zy_pred": zy.argmax(-1)}
 
-    def train_step(state_params, opt_state, x, gt_target, zy_target, rng):
+    def train_step(state_params, opt_state, x, gt_target, zy_target, rng,
+                   freeze_on):
         rng, sub = jax.random.split(rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(
             _fast(state_params), x, gt_target, zy_target, sub)
         updates, opt_state = tx.update(grads, opt_state, state_params)
+        updates = mask(updates, freeze_on)
         state_params = optax.apply_updates(state_params, updates)
         return state_params, opt_state, metrics, rng
 
     return train_step
+
+
+def make_pileup_eval_step(mcfg: PileupModelConfig, tcfg: TrainConfig):
+    smoothing = tcfg.optim.label_smoothing
+
+    def eval_step(params, x, gt_target, zy_target):
+        gt, zy, _, _ = pileup_forward(params, x, mcfg, all_heads=False)
+        loss = (label_smoothing_loss(gt, gt_target, smoothing)
+                + label_smoothing_loss(zy, zy_target, smoothing))
+        return loss, gt.argmax(-1), zy.argmax(-1)
+
+    return eval_step
 
 
 def _fast(params):
@@ -67,11 +112,33 @@ def _fast(params):
     return params
 
 
+class EpochMeter:
+    """Accumulates loss + gt/zy confusion over one epoch's batches."""
+
+    def __init__(self, n_gt: int, n_zy: int):
+        self.gt = ConfusionAccumulator(n_gt)
+        self.zy = ConfusionAccumulator(n_zy)
+        self.loss_sum = 0.0
+        self.batches = 0
+
+    def update(self, loss: float, gt_pred, gt_true, zy_pred, zy_true) -> None:
+        self.loss_sum += float(loss)
+        self.batches += 1
+        self.gt.update(np.asarray(gt_pred), np.asarray(gt_true))
+        self.zy.update(np.asarray(zy_pred), np.asarray(zy_true))
+
+    def scalars(self) -> Dict[str, float]:
+        out = {"loss": round(self.loss_sum / max(self.batches, 1), 6)}
+        out.update(self.gt.summary("gt_"))
+        out.update(self.zy.summary("zy_"))
+        return out
+
+
 def train_pileup(
-    data_iter: Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    data_iter: Iterator,
     mcfg: PileupModelConfig,
     tcfg: TrainConfig,
-    steps_per_epoch: int,
+    steps_per_epoch: Optional[int],
     out_dir: str,
     init_params=None,
     mesh=None,
@@ -79,8 +146,19 @@ def train_pileup(
     max_steps: Optional[int] = None,
     resume_from: Optional[str] = None,
     eval_fn=None,
+    val_iter_factory: Optional[Callable[[], Iterator]] = None,
+    lr_steps_per_epoch: Optional[int] = None,
 ) -> TrainState:
-    """Generic loop over an iterator yielding (x [B,33,18], gt [B], zy [B])."""
+    """Generic loop over an iterator yielding (x [B,33,18], gt [B], zy [B]),
+    or the data.EPOCH_END sentinel marking epoch boundaries (preferred over
+    steps_per_epoch when the batch count is data-dependent; the lr-decay
+    schedule then uses `lr_steps_per_epoch`, an estimate is fine).
+
+    Best-checkpoint retention: at each epoch end, `eval_fn(state)` (or, by
+    default, the validation gt macro-F1 from `val_iter_factory`) decides
+    whether to overwrite best.ckpt."""
+    from .data import EPOCH_END
+
     os.makedirs(out_dir, exist_ok=True)
     mesh = mesh or make_mesh()
     data_sh = shard_batch(mesh)
@@ -89,7 +167,8 @@ def train_pileup(
     rng = jax.random.key(tcfg.seed)
     params = init_params if init_params is not None else init_pileup_params(
         jax.random.key(tcfg.seed), mcfg)
-    tx = build_optimizer(tcfg.optim, steps_per_epoch)
+    tx = build_optimizer(tcfg.optim,
+                         steps_per_epoch or lr_steps_per_epoch or 1000)
     is_lookahead = tcfg.optim.type.lower().startswith("lookahead")
     if is_lookahead:
         params = wrap_params_for_lookahead(params, True)
@@ -101,6 +180,7 @@ def train_pileup(
     opt_state = jax.device_put(opt_state, rep)
 
     step_fn = jax.jit(make_pileup_train_step(mcfg, tcfg, tx), donate_argnums=(0, 1))
+    eval_step = jax.jit(make_pileup_eval_step(mcfg, tcfg))
 
     state = TrainState(params, opt_state)
     if resume_from:
@@ -110,32 +190,70 @@ def train_pileup(
 
     print(f"[{__name__.split('.')[-1]}] model parameters: "
           f"{count_parameters(_fast(state.params)):,}")
+    logger = MetricsLogger(out_dir)
+    meter = EpochMeter(mcfg.gt_num_class, mcfg.zy_num_class)
     best_metric = [float("-inf")]
+
+    def run_validation(st: TrainState) -> Optional[Dict[str, float]]:
+        if val_iter_factory is None:
+            return None
+        vm = EpochMeter(mcfg.gt_num_class, mcfg.zy_num_class)
+        for vx, vgt, vzy in val_iter_factory():
+            loss, gtp, zyp = eval_step(_fast(st.params),
+                                       jnp.asarray(vx, jnp.float32),
+                                       jnp.asarray(vgt), jnp.asarray(vzy))
+            vm.update(loss, gtp, vgt, zyp, vzy)
+        return vm.scalars() if vm.batches else None
+
+    def end_epoch(st: TrainState) -> None:
+        st.epoch += 1
+        train_scalars = meter.scalars()
+        logger.log(st.epoch, "train", train_scalars, step=st.step)
+        val_scalars = run_validation(st)
+        if val_scalars is not None:
+            logger.log(st.epoch, "val", val_scalars, step=st.step)
+        print(f"[train_pileup] epoch {st.epoch}: train {train_scalars}"
+              + (f" val {val_scalars}" if val_scalars else ""))
+        meter.__init__(mcfg.gt_num_class, mcfg.zy_num_class)
+        save_checkpoint(os.path.join(out_dir, f"epoch_{st.epoch}.ckpt"), st)
+        # best-metric checkpoint retention (reference train_dev.py:258-281)
+        metric = None
+        if eval_fn is not None:
+            metric = float(eval_fn(st))
+        elif val_scalars is not None:
+            metric = val_scalars["gt_macro_f1"]
+        if metric is not None and metric > best_metric[0]:
+            best_metric[0] = metric
+            save_checkpoint(os.path.join(out_dir, "best.ckpt"), st)
+
+    freeze_on = 0.0
     t0 = time.monotonic()
-    for x, gt_t, zy_t in data_iter:
+    for item in data_iter:
+        if item is EPOCH_END:
+            end_epoch(state)
+            if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
+                freeze_on = 1.0
+            continue
+        x, gt_t, zy_t = item
         xb = jax.device_put(jnp.asarray(x, jnp.float32), data_sh)
         gtb = jax.device_put(jnp.asarray(gt_t), data_sh)
         zyb = jax.device_put(jnp.asarray(zy_t), data_sh)
         state.params, state.opt_state, metrics, rng = step_fn(
-            state.params, state.opt_state, xb, gtb, zyb, rng)
+            state.params, state.opt_state, xb, gtb, zyb, rng,
+            jnp.float32(freeze_on))
         state.step += 1
+        meter.update(metrics["loss"], metrics["gt_pred"], gt_t,
+                     metrics["zy_pred"], zy_t)
         if state.step % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
             dt = time.monotonic() - t0
             print(f"[train_pileup] step {state.step} "
-                  f"loss {m['loss']:.4f} gt_acc {m['gt_acc']:.4f} "
+                  f"loss {float(metrics['loss']):.4f} "
+                  f"gt_acc {float(metrics['gt_acc']):.4f} "
                   f"({state.step / dt:.1f} steps/s)")
-        if state.step % steps_per_epoch == 0:
-            state.epoch += 1
-            save_checkpoint(os.path.join(out_dir, f"epoch_{state.epoch}.ckpt"),
-                            state)
-            # best-metric checkpoint retention (reference
-            # train_dev.py:258-281: keeps a best-F1 copy per epoch)
-            if eval_fn is not None:
-                metric = float(eval_fn(state))
-                if metric > best_metric[0]:
-                    best_metric[0] = metric
-                    save_checkpoint(os.path.join(out_dir, "best.ckpt"), state)
+        if steps_per_epoch and state.step % steps_per_epoch == 0:
+            end_epoch(state)
+            if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
+                freeze_on = 1.0
         if max_steps and state.step >= max_steps:
             break
     save_checkpoint(os.path.join(out_dir, "last.ckpt"), state,
