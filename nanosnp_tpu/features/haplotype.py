@@ -164,7 +164,16 @@ def haplotype_features(
     Feature order along the last axis matches the reference's row order
     (dataset_dev.py:51,86): 26 integrated, 26 HP=1, 26 HP=2, 26 unphased,
     then the reference-base row.
+
+    Inputs may arrive as int8 (all read-matrix values fit [-2, 93]) — the
+    input pipeline ships int8 to cut host->device traffic 4x; stats are
+    computed in f32.
     """
+    seq = seq.astype(jnp.float32)
+    baseq = baseq.astype(jnp.float32)
+    mapq = mapq.astype(jnp.float32)
+    hap = hap.astype(jnp.float32)
+    ref_codes = ref_codes.astype(jnp.float32)
     all_member = jnp.ones(seq.shape[:2], dtype=bool)
     g1 = (hap == 1.0).any(axis=2)
     g2 = (hap == 2.0).any(axis=2)

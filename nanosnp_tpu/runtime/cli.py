@@ -330,7 +330,11 @@ def _run_train_haplotype(args, cfg) -> int:
     epochs = args.epochs or 30
     rng = np.random.default_rng(tcfg.seed)
     paths = list_shards(args.shards)
-    train_paths, val_paths = D.split_train_val(paths, tcfg.val_fraction, rng)
+    # row-level reshard: consolidated s4 shards are one file per
+    # (contig, depth bucket), far too coarse for a file-level split
+    train_paths, val_paths = D.reshard_train_val(
+        paths, os.path.join(args.output, "haplotype_split"),
+        tcfg.val_fraction, rng)
 
     # lr-decay schedule hint: total candidate count from shard metadata
     # (loads one small array per shard — NOT the old full counting pass)

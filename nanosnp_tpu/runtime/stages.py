@@ -492,20 +492,24 @@ def stage_haplotype_predict(
         seq = ref.contig(shard.contig)
         dp_b = _bucket(shard.pileup["sequences"].shape[1])
         dh_b = _bucket(shard.haplotype["sequences"].shape[1])
-        f32 = np.float32
+        # read matrices ship as int8 (values fit [-2, 93]; featurizer casts
+        # to f32 on device) -> 4x less host->device traffic
+        i8 = np.int8
         args = []
         for view, db in (("pileup", dp_b), ("haplotype", dh_b)):
             d = getattr(shard, view)
             pad = ((0, 0), (0, db - d["sequences"].shape[1]), (0, 0))
             for k in bins._KEYS:
-                args.append(np.pad(d[k], pad,
-                                   constant_values=C.PAD_VALUE).astype(f32))
+                a = np.pad(d[k], pad, constant_values=C.PAD_VALUE)
+                # mapq can reach 254 in the BAM spec; clamp into int8 range
+                args.append(np.clip(a, -128, 127).astype(i8))
             if view == "pileup":
                 args.append(ref_window_codes(
                     seq, shard.candidate_positions,
-                    cfg.haplotype_feature.pileup_flanking_size))
+                    cfg.haplotype_feature.pileup_flanking_size).astype(i8))
             else:
-                args.append(ref_position_codes(seq, shard.group_positions))
+                args.append(ref_position_codes(
+                    seq, shard.group_positions).astype(i8))
         key = (dp_b, dh_b)
         pool = pools.setdefault(key, {"chunks": [], "meta": []})
         pool["chunks"].append(args)

@@ -400,6 +400,57 @@ def haplotype_train_iterator(
             yield EPOCH_END
 
 
+def reshard_train_val(
+    shard_paths: Sequence[str],
+    out_dir: str,
+    val_fraction: float = 0.1,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[List[str], List[str]]:
+    """Row-level train/val split of haplotype shards.
+
+    The consolidated s4 output is one shard per (contig, depth bucket), so
+    a file-level split (reference train.py:176-181) is too coarse — this
+    splits every shard's rows 90/10 into <out_dir>/{train,val}/ copies."""
+    import os as _os
+
+    from ..io import bins as _bins
+
+    rng = rng or np.random.default_rng()
+    train_dir = _os.path.join(out_dir, "train")
+    val_dir = _os.path.join(out_dir, "val")
+    _os.makedirs(train_dir, exist_ok=True)
+    _os.makedirs(val_dir, exist_ok=True)
+
+    def slice_shard(shard, idx):
+        return _bins.HaplotypeShard(
+            contig=shard.contig,
+            candidate_positions=shard.candidate_positions[idx],
+            group_positions=shard.group_positions[idx],
+            pileup={k: v[idx] for k, v in shard.pileup.items()},
+            haplotype={k: v[idx] for k, v in shard.haplotype.items()},
+        )
+
+    train_paths, val_paths = [], []
+    for p in shard_paths:
+        shard = _bins.load_haplotype_shard(p)
+        n = len(shard)
+        if n == 0:
+            continue
+        perm = rng.permutation(n)
+        n_val = int(round(n * val_fraction))
+        if n >= 10:
+            n_val = max(n_val, 1)
+        name = _os.path.basename(p)
+        tp = _os.path.join(train_dir, name)
+        _bins.save_haplotype_shard(tp, slice_shard(shard, perm[n_val:]))
+        train_paths.append(tp)
+        if n_val:
+            vp = _os.path.join(val_dir, name)
+            _bins.save_haplotype_shard(vp, slice_shard(shard, perm[:n_val]))
+            val_paths.append(vp)
+    return train_paths, val_paths
+
+
 _REF_SEQS: Dict[str, np.ndarray] = {}
 
 

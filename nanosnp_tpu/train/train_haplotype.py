@@ -31,8 +31,9 @@ from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .losses import label_smoothing_loss
 from .metrics import MetricsLogger
 from .optim import build_optimizer, wrap_params_for_lookahead
-from .train_pileup import (EpochMeter, TrainState, _fast, freeze_mask_fn,
-                           resume_state, save_checkpoint)
+from .train_pileup import (EpochMeter, TrainState, _fast, _stack_batches,
+                           freeze_mask_fn, make_multi_step, resume_state,
+                           save_checkpoint)
 
 
 def _featurize(batch):
@@ -95,10 +96,13 @@ def make_haplotype_eval_step(mcfg: HaplotypeModelConfig, tcfg: TrainConfig,
 
 
 def _device_batch(batch, data_sh):
+    """Read matrices ship as int8 (values fit [-2, 93]); the featurizer
+    casts to f32 on device. 4x less host->device traffic."""
     return {
         k: jax.device_put(jnp.asarray(
-            v, jnp.float32 if v.dtype.kind in "fiu" and k not in ("gt", "zy")
-            else None), data_sh)
+            np.clip(np.asarray(v), -128, 127).astype(np.int8)
+            if v.dtype.kind in "fiu" and k not in ("gt", "zy") else v),
+            data_sh)
         for k, v in batch.items()
     }
 
@@ -142,8 +146,12 @@ def train_haplotype(
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
-    step_fn = jax.jit(make_haplotype_train_step(mcfg, tcfg, tx),
-                      donate_argnums=(0, 1))
+    raw_step = make_haplotype_train_step(mcfg, tcfg, tx)
+    step_fn = jax.jit(raw_step, donate_argnums=(0, 1))
+    multi_fn = jax.jit(make_multi_step(raw_step), donate_argnums=(0, 1))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stack_sh = NamedSharding(mesh, P(None, "data"))
     eval_step = jax.jit(make_haplotype_eval_step(mcfg, tcfg))
     state = TrainState(params, opt_state)
     if resume_from:
@@ -189,33 +197,70 @@ def train_haplotype(
             best_metric[0] = metric
             save_checkpoint(os.path.join(out_dir, "best.ckpt"), st)
 
-    freeze_on = 0.0
+    freeze = [0.0]
     t0 = time.monotonic()
-    for batch in data_iter:
-        if batch is EPOCH_END:
-            end_epoch(state)
-            if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
-                freeze_on = 1.0
-            continue
-        device_batch = _device_batch(batch, data_sh)
-        state.params, state.opt_state, metrics, rng = step_fn(
-            state.params, state.opt_state, device_batch, rng,
-            jnp.float32(freeze_on))
-        state.step += 1
-        meter.update(metrics["loss"], metrics["gt_pred"], batch["gt"],
-                     metrics["zy_pred"], batch["zy"])
-        if state.step % log_every == 0:
+    group = tcfg.steps_per_call if steps_per_epoch is None else 1
+    # haplotype batches come in depth buckets: only same-shape batches can
+    # stack into one multi-step dispatch, so buffer per shape signature
+    bufs: Dict[tuple, list] = {}
+    _rng = [rng]
+
+    def log_progress(metrics):
+        if state.step % log_every < max(group, 1):
             dt = time.monotonic() - t0
             print(f"[train_haplotype] step {state.step} "
-                  f"loss {float(metrics['loss']):.4f} "
-                  f"gt_acc {float(metrics['gt_acc']):.4f} "
+                  f"loss {float(np.ravel(metrics['loss'])[-1]):.4f} "
+                  f"gt_acc {float(np.ravel(metrics['gt_acc'])[-1]):.4f} "
                   f"({state.step / dt:.1f} steps/s)")
-        if steps_per_epoch and state.step % steps_per_epoch == 0:
+
+    def flush(key):
+        buf = bufs.pop(key, [])
+        if not buf:
+            return
+        fz = jnp.float32(freeze[0])
+        if len(buf) == 1:
+            db = _device_batch(buf[0], data_sh)
+            state.params, state.opt_state, metrics, rng_out = step_fn(
+                state.params, state.opt_state, db, _rng[0], fz)
+            state.step += 1
+            meter.update(metrics["loss"], metrics["gt_pred"], buf[0]["gt"],
+                         metrics["zy_pred"], buf[0]["zy"])
+        else:
+            db = _device_batch(_stack_batches(buf), stack_sh)
+            state.params, state.opt_state, metrics, rng_out = multi_fn(
+                state.params, state.opt_state, db, _rng[0], fz)
+            state.step += len(buf)
+            losses = np.asarray(metrics["loss"])
+            gt_preds = np.asarray(metrics["gt_pred"])
+            zy_preds = np.asarray(metrics["zy_pred"])
+            for i, b in enumerate(buf):
+                meter.update(losses[i], gt_preds[i], b["gt"],
+                             zy_preds[i], b["zy"])
+        _rng[0] = rng_out
+        log_progress(metrics)
+
+    def flush_all():
+        for key in list(bufs):
+            flush(key)
+
+    for batch in data_iter:
+        if batch is EPOCH_END:
+            flush_all()
             end_epoch(state)
             if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
-                freeze_on = 1.0
+                freeze[0] = 1.0
+            continue
+        key = tuple(sorted((k, v.shape) for k, v in batch.items()))
+        bufs.setdefault(key, []).append(batch)
+        if len(bufs[key]) >= max(group, 1):
+            flush(key)
+        if steps_per_epoch and state.step and state.step % steps_per_epoch == 0:
+            end_epoch(state)
+            if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
+                freeze[0] = 1.0
         if max_steps and state.step >= max_steps:
             break
+    flush_all()
     save_checkpoint(os.path.join(out_dir, "last.ckpt"), state,
                     include_optimizer=True)
     return state

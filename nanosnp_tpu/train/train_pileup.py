@@ -93,6 +93,32 @@ def make_pileup_train_step(mcfg: PileupModelConfig, tcfg: TrainConfig,
     return train_step
 
 
+def make_multi_step(step_fn):
+    """Scan `step_fn` over a leading stack of G batches in ONE dispatch.
+
+    step_fn: (params, opt_state, batch_pytree, rng, freeze_on) ->
+             (params, opt_state, metrics, rng).
+    Returns multi(params, opt_state, stacked_batch, rng, freeze_on) with
+    metrics stacked [G, ...]. Amortizes per-call dispatch overhead (the
+    dominant cost on relayed/remote TPUs) without changing training
+    semantics — G sequential optimizer updates, same as G separate calls."""
+    def multi(params, opt_state, stacked_batch, rng, freeze_on):
+        def body(carry, batch):
+            p, o, r = carry
+            p, o, m, r = step_fn(p, o, batch, r, freeze_on)
+            return (p, o, r), m
+
+        (p, o, r), ms = jax.lax.scan(body, (params, opt_state, rng),
+                                     stacked_batch)
+        return p, o, ms, r
+
+    return multi
+
+
+def _stack_batches(batches):
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
 def make_pileup_eval_step(mcfg: PileupModelConfig, tcfg: TrainConfig):
     smoothing = tcfg.optim.label_smoothing
 
@@ -162,6 +188,11 @@ def train_pileup(
     os.makedirs(out_dir, exist_ok=True)
     mesh = mesh or make_mesh()
     data_sh = shard_batch(mesh)
+    # stacked [G, B, ...] multi-step batches: scan axis replicated, batch
+    # axis sharded over the mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stack_sh = NamedSharding(mesh, P(None, "data"))
     rep = replicated(mesh)
 
     rng = jax.random.key(tcfg.seed)
@@ -179,7 +210,13 @@ def train_pileup(
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
-    step_fn = jax.jit(make_pileup_train_step(mcfg, tcfg, tx), donate_argnums=(0, 1))
+    raw_step = make_pileup_train_step(mcfg, tcfg, tx)
+
+    def tuple_step(p, o, batch, r, f):
+        return raw_step(p, o, batch[0], batch[1], batch[2], r, f)
+
+    step_fn = jax.jit(tuple_step, donate_argnums=(0, 1))
+    multi_fn = jax.jit(make_multi_step(tuple_step), donate_argnums=(0, 1))
     eval_step = jax.jit(make_pileup_eval_step(mcfg, tcfg))
 
     state = TrainState(params, opt_state)
@@ -226,36 +263,70 @@ def train_pileup(
             best_metric[0] = metric
             save_checkpoint(os.path.join(out_dir, "best.ckpt"), st)
 
-    freeze_on = 0.0
+    freeze = [0.0]
     t0 = time.monotonic()
-    for item in data_iter:
-        if item is EPOCH_END:
-            end_epoch(state)
-            if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
-                freeze_on = 1.0
-            continue
-        x, gt_t, zy_t = item
-        xb = jax.device_put(jnp.asarray(x, jnp.float32), data_sh)
-        gtb = jax.device_put(jnp.asarray(gt_t), data_sh)
-        zyb = jax.device_put(jnp.asarray(zy_t), data_sh)
-        state.params, state.opt_state, metrics, rng = step_fn(
-            state.params, state.opt_state, xb, gtb, zyb, rng,
-            jnp.float32(freeze_on))
-        state.step += 1
-        meter.update(metrics["loss"], metrics["gt_pred"], gt_t,
-                     metrics["zy_pred"], zy_t)
-        if state.step % log_every == 0:
+    # multi-step batching is incompatible with mid-stack epoch boundaries,
+    # so it engages only in sentinel (steps_per_epoch=None) mode
+    group = tcfg.steps_per_call if steps_per_epoch is None else 1
+    buf: list = []
+
+    def log_progress(metrics):
+        if state.step % log_every < max(group, 1):
             dt = time.monotonic() - t0
             print(f"[train_pileup] step {state.step} "
-                  f"loss {float(metrics['loss']):.4f} "
-                  f"gt_acc {float(metrics['gt_acc']):.4f} "
+                  f"loss {float(np.ravel(metrics['loss'])[-1]):.4f} "
+                  f"gt_acc {float(np.ravel(metrics['gt_acc'])[-1]):.4f} "
                   f"({state.step / dt:.1f} steps/s)")
-        if steps_per_epoch and state.step % steps_per_epoch == 0:
+
+    def flush():
+        if not buf:
+            return
+        fz = jnp.float32(freeze[0])
+        if len(buf) == 1:
+            x, gt_t, zy_t = buf[0]
+            db = (jax.device_put(jnp.asarray(x, jnp.float32), data_sh),
+                  jax.device_put(jnp.asarray(gt_t), data_sh),
+                  jax.device_put(jnp.asarray(zy_t), data_sh))
+            state.params, state.opt_state, metrics, rng_out = step_fn(
+                state.params, state.opt_state, db, _rng[0], fz)
+            state.step += 1
+            meter.update(metrics["loss"], metrics["gt_pred"], gt_t,
+                         metrics["zy_pred"], zy_t)
+        else:
+            stacked = _stack_batches(buf)
+            db = (jax.device_put(jnp.asarray(stacked[0], jnp.float32), stack_sh),
+                  jax.device_put(jnp.asarray(stacked[1]), stack_sh),
+                  jax.device_put(jnp.asarray(stacked[2]), stack_sh))
+            state.params, state.opt_state, metrics, rng_out = multi_fn(
+                state.params, state.opt_state, db, _rng[0], fz)
+            state.step += len(buf)
+            losses = np.asarray(metrics["loss"])
+            gt_preds = np.asarray(metrics["gt_pred"])
+            zy_preds = np.asarray(metrics["zy_pred"])
+            for i, (_, gt_t, zy_t) in enumerate(buf):
+                meter.update(losses[i], gt_preds[i], gt_t, zy_preds[i], zy_t)
+        _rng[0] = rng_out
+        log_progress(metrics)
+        buf.clear()
+
+    _rng = [rng]
+    for item in data_iter:
+        if item is EPOCH_END:
+            flush()
             end_epoch(state)
             if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
-                freeze_on = 1.0
+                freeze[0] = 1.0
+            continue
+        buf.append(item)
+        if len(buf) >= max(group, 1):
+            flush()
+        if steps_per_epoch and state.step % steps_per_epoch == 0 and state.step:
+            end_epoch(state)
+            if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
+                freeze[0] = 1.0
         if max_steps and state.step >= max_steps:
             break
+    flush()
     save_checkpoint(os.path.join(out_dir, "last.ckpt"), state,
                     include_optimizer=True)
     return state
@@ -278,9 +349,54 @@ def save_checkpoint(path: str, state: TrainState,
 
 
 def load_checkpoint(path: str):
+    if path.endswith(".npz"):
+        return load_params_npz(path), {}
     with open(path, "rb") as f:
         blob = pickle.load(f)
     return jax.tree.map(jnp.asarray, blob["params"]), blob
+
+
+def save_params_npz(path: str, params, dtype=np.float16) -> None:
+    """Portable, compact parameter archive (fp16 halves the footprint —
+    inference casts to bf16/f32 anyway). Tree paths are encoded in the npz
+    keys, so arbitrary dict/list nesting round-trips."""
+    flat = jax.tree_util.tree_flatten_with_path(_fast(params))[0]
+    arrays = {}
+    for kp, leaf in flat:
+        toks = []
+        for e in kp:
+            if hasattr(e, "key"):
+                toks.append(f"k:{e.key}")
+            elif hasattr(e, "idx"):
+                toks.append(f"i:{e.idx}")
+            else:
+                raise ValueError(f"unsupported tree path entry {e!r}")
+        arrays["/".join(toks)] = np.asarray(leaf).astype(dtype)
+    np.savez_compressed(path, **arrays)
+
+
+def load_params_npz(path: str):
+    z = np.load(path)
+    root: Dict = {}
+    for name in z.files:
+        toks = name.split("/")
+        node = root
+        for j, t in enumerate(toks):
+            last = j == len(toks) - 1
+            key = t[2:] if t.startswith("k:") else int(t[2:])
+            if last:
+                node[key] = jnp.asarray(z[name], jnp.float32)
+            else:
+                node = node.setdefault(key, {})
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(isinstance(k, int) for k in node):
+            return [listify(node[i]) for i in sorted(node)]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
 
 
 def resume_state(path: str) -> TrainState:
