@@ -98,6 +98,63 @@ def load_pileup_shard_h5(path: str) -> PileupShard:
     )
 
 
+def save_pileup_train_h5(path: str, arrays) -> None:
+    """Reference-layout HDF5 TRAIN bin (make_bin_train_data.py:100-105):
+    position_matrix [N,33,18] int32, position [N,1] S83, label [N,90]
+    int32, alt_info [N,1] S5000. Readable by the reference TrainDataset
+    (PileupModel/dataset.py:73-96) for cross-stack train-data diffing.
+    `arrays` is a train.data.PileupTrainArrays with ref_seqs/alt_info set."""
+    import h5py
+
+    if arrays.ref_seqs is None or arrays.alt_info is None:
+        raise ValueError("train arrays lack ref_seqs/alt_info provenance "
+                         "(rebuild with build_pileup_train_arrays)")
+    n = len(arrays.positions)
+    position = np.array(
+        [f"{arrays.contig}:{int(p)}:{r.decode()}".encode()
+         for p, r in zip(arrays.positions,
+                         np.asarray(arrays.ref_seqs, dtype="S"))],
+        dtype="S83").reshape(n, 1)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("position_matrix",
+                         data=arrays.matrix.astype(np.int32))
+        f.create_dataset("position", data=position)
+        f.create_dataset("label", data=arrays.label.astype(np.int32))
+        f.create_dataset("alt_info",
+                         data=np.asarray(arrays.alt_info,
+                                         dtype="S5000").reshape(n, 1))
+
+
+def load_pileup_train_h5(path: str):
+    """Read a reference-layout train bin back into PileupTrainArrays."""
+    import h5py
+
+    from ..train.data import PileupTrainArrays
+
+    with h5py.File(path, "r") as f:
+        matrix = np.asarray(f["position_matrix"])
+        label = np.asarray(f["label"])
+        position = np.asarray(f["position"]).reshape(-1)
+        alt_info = np.asarray(f["alt_info"]).reshape(-1)
+    contigs, positions, refs = [], [], []
+    for item in position:
+        ctg, pos, seqs = item.decode().strip().split(":")
+        contigs.append(ctg)
+        positions.append(int(pos))
+        refs.append(seqs.encode())
+    # zygosity class > 0 (1/1 or 0/1) marks a variant; gt alone cannot
+    # (hom-ref sites carry their ref base's gt21 class)
+    zy = label[:, 21:24].argmax(1) if len(label) else np.zeros(0, np.int64)
+    return PileupTrainArrays(
+        matrix=matrix, label=label,
+        positions=np.asarray(positions, dtype=np.int64),
+        is_variant=zy > 0,
+        contig=contigs[0] if contigs else "",
+        ref_seqs=np.asarray(refs, dtype="S33") if refs
+        else np.zeros(0, "S33"),
+        alt_info=alt_info)
+
+
 # ---------------------------------------------------------------------------
 # haplotype shards
 # ---------------------------------------------------------------------------

@@ -103,6 +103,10 @@ def main(argv=None):
     p.add_argument("--bed", default=None, help="confident regions BED")
     p.add_argument("--contigs", nargs="*", default=None)
     p.add_argument("--max-nonvariant-ratio", type=float, default=5.0)
+    p.add_argument("--h5", action="store_true",
+                   help="also write reference-layout HDF5 train bins "
+                        "(make_bin_train_data.py schema) for cross-stack "
+                        "train-data diffing")
 
     p = sub.add_parser("train-pileup")
     _add_common(p)
@@ -233,6 +237,11 @@ def _run_make_train_data(args, cfg) -> int:
             arrays = D.build_pileup_train_arrays(
                 batch, truth.get(ctg, []), args.max_nonvariant_ratio, rng)
             D.save_train_arrays(os.path.join(out_dir, f"{ctg}.npz"), arrays)
+            if args.h5:
+                from ..io.bins import save_pileup_train_h5
+
+                save_pileup_train_h5(
+                    os.path.join(out_dir, f"{ctg}.bin"), arrays)
             total["sites"] += len(arrays.positions)
             total["variants"] += int(arrays.is_variant.sum())
     print(total)

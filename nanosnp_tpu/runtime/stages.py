@@ -65,14 +65,55 @@ def split_mpileup_by_contig(mpileup_path: str, out_dir: str,
     return written
 
 
+def _iter_mpileup_units(path: str, overlap_rows: int,
+                        chunk_bytes: int = 32 << 20):
+    """Stream a per-contig mpileup file as (unit_lines, n_carry, is_final)
+    triples, where each unit = the previous unit's last `overlap_rows`
+    lines + one chunk of new complete lines. The overlap re-creates the
+    reference's O(window) ring buffer (make_candidate_snp_tensor/
+    main.cpp:126-217): every candidate sees its full +-flank row context in
+    exactly one unit."""
+    carry: List[bytes] = []
+    tail = b""
+    pending: Optional[List[bytes]] = None
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(chunk_bytes)
+            if not block:
+                break
+            data = tail + block
+            nl = data.rfind(b"\n")
+            if nl < 0:
+                tail = data
+                continue
+            tail = data[nl + 1:]
+            lines = data[: nl + 1].splitlines(keepends=True)
+            if pending is not None:
+                yield pending, len(carry), False
+                carry = pending[-overlap_rows:]
+            pending = carry + lines
+    if tail:
+        last = [tail if tail.endswith(b"\n") else tail + b"\n"]
+        pending = (pending or carry) + last if pending is not None \
+            else carry + last
+    if pending is not None:
+        yield pending, len(carry), True
+
+
 def stage_pileup_features(
     cfg: PipelineConfig,
     ref: FastaReference,
     chr_mpileup_dir: str,
     out_dir: str,
     contigs: Optional[Sequence[str]] = None,
+    chunk_bytes: int = 32 << 20,
 ) -> Dict:
-    """s1: per-contig mpileup -> candidate windows -> pileup shards."""
+    """s1: per-contig mpileup -> candidate windows -> pileup shards.
+
+    The text is processed in streaming units (O(chunk) memory, not
+    O(contig): chr1 at 30x is tens of GB of mpileup text). A candidate is
+    emitted by the first unit that contains its full right flank; the
+    position bound dedupes across the unit overlap."""
     from ..io.native import parse_mpileup_native
 
     os.makedirs(out_dir, exist_ok=True)
@@ -83,33 +124,63 @@ def stage_pileup_features(
     total_cand = 0
     t0 = time.monotonic()
     fc = cfg.pileup_feature
+    flank = fc.flanking_bases
+    overlap = 2 * flank + 1
     for ctg in contigs:
         path = os.path.join(chr_mpileup_dir, f"{ctg}.mpileup")
         if not os.path.exists(path):
             continue
-        with open(path, "rb") as f:
-            text = f.read()
         seq = ref.contig(ctg)
-        pile = parse_mpileup_native(
-            text, ctg, seq,
-            snp_min_af=fc.snp_min_af, indel_min_af=fc.indel_min_af,
-            min_coverage=fc.min_depth, max_indel=fc.max_indel_size,
-            n_threads=cfg.threads or 0)
-        batch = assemble_windows(pile, seq, fc.flanking_bases)
-        mat, pos, refs33 = predict_inputs(batch)
-        keep_alt = {int(p): a for p, a in zip(batch.positions, batch.alt_info)}
+        mats, poss, refs_all, alts = [], [], [], []
+        prev_bound = 0
+        for unit_lines, n_carry, final in _iter_mpileup_units(
+                path, overlap, chunk_bytes):
+            text = b"".join(unit_lines)
+            pile = parse_mpileup_native(
+                text, ctg, seq,
+                snp_min_af=fc.snp_min_af, indel_min_af=fc.indel_min_af,
+                min_coverage=fc.min_depth, max_indel=fc.max_indel_size,
+                n_threads=cfg.threads or 0)
+            total_rows += len(unit_lines) - n_carry
+            batch = assemble_windows(pile, seq, flank)
+            if len(batch) == 0:
+                if not final and len(pile.positions) > flank:
+                    prev_bound = max(
+                        prev_bound, int(pile.positions[-(flank + 1)]))
+                continue
+            if final:
+                sel = batch.positions > prev_bound
+            else:
+                # rows in the last `flank` lines lack their right flank in
+                # this unit; they re-appear in the next unit's carry
+                bound = int(pile.positions[-(flank + 1)]) \
+                    if len(pile.positions) > flank else prev_bound
+                sel = (batch.positions > prev_bound) & (batch.positions <= bound)
+                prev_bound = max(prev_bound, bound)
+            if not sel.any():
+                continue
+            sub = _slice_batch(batch, sel)
+            mat, pos, refs33 = predict_inputs(sub)
+            if len(pos) == 0:
+                continue
+            alt_map = {int(p): a for p, a in zip(sub.positions, sub.alt_info)}
+            mats.append(mat)
+            poss.append(pos)
+            refs_all.extend(refs33)
+            alts.extend(alt_map[int(p)] for p in pos)
+        pos_all = np.concatenate(poss) if poss else np.zeros(0, np.int64)
         shard = bins.PileupShard(
             contig=ctg,
-            positions=pos,
-            matrix=mat,
-            ref_seqs=np.asarray([r.encode() for r in refs33], dtype="S33")
-            if len(refs33) else np.zeros(0, dtype="S33"),
-            alt_info=np.asarray([keep_alt[int(p)].encode() for p in pos],
-                                dtype="S") if len(pos) else np.zeros(0, dtype="S"),
+            positions=pos_all,
+            matrix=(np.concatenate(mats) if mats
+                    else np.zeros((0, overlap, 18), np.int32)),
+            ref_seqs=(np.asarray([r.encode() for r in refs_all], dtype="S33")
+                      if refs_all else np.zeros(0, dtype="S33")),
+            alt_info=(np.asarray([a.encode() for a in alts], dtype="S")
+                      if alts else np.zeros(0, dtype="S")),
         )
         bins.save_pileup_shard(os.path.join(out_dir, f"{ctg}.npz"), shard)
-        total_rows += len(pile.positions)
-        total_cand += len(pos)
+        total_cand += len(pos_all)
     dt = time.monotonic() - t0
     return {"rows": total_rows, "candidates": total_cand,
             "rows_per_s": round(total_rows / dt, 1) if dt else 0}

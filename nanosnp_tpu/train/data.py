@@ -89,6 +89,11 @@ class PileupTrainArrays:
     label: np.ndarray        # [N, 90] int32
     positions: np.ndarray    # [N] int64
     is_variant: np.ndarray   # [N] bool
+    # optional provenance, needed for the reference-layout HDF5 train bins
+    # (make_bin_train_data.py position/alt_info columns)
+    contig: str = ""
+    ref_seqs: Optional[np.ndarray] = None   # [N] S33 window strings
+    alt_info: Optional[np.ndarray] = None   # [N] bytes
 
 
 def build_pileup_train_arrays(
@@ -134,13 +139,21 @@ def build_pileup_train_arrays(
             label[j] = L.y_label_from_reference(refs[j])
 
     matrix = batch.matrix[keep]
+    ref_seqs = np.asarray([batch.ref_seqs[i].encode() for i in keep],
+                          dtype="S33") if len(keep) else np.zeros(0, "S33")
+    alt_info = np.asarray([batch.alt_info[i].encode() for i in keep],
+                          dtype="S") if len(keep) else np.zeros(0, "S")
     if shuffle:
         perm = rng.permutation(len(positions))
         matrix = matrix[perm]
         label = label[perm]
         positions = positions[perm]
         is_var = is_var[perm]
-    return PileupTrainArrays(matrix.astype(np.int32), label, positions, is_var)
+        ref_seqs = ref_seqs[perm]
+        alt_info = alt_info[perm]
+    return PileupTrainArrays(matrix.astype(np.int32), label, positions,
+                             is_var, contig=batch.chrom,
+                             ref_seqs=ref_seqs, alt_info=alt_info)
 
 
 def balance_indices(
@@ -266,15 +279,24 @@ def batch_iterator(
 
 
 def save_train_arrays(path: str, arrays: PileupTrainArrays) -> None:
+    extra = {}
+    if arrays.ref_seqs is not None:
+        extra["ref_seqs"] = np.asarray(arrays.ref_seqs, dtype="S")
+    if arrays.alt_info is not None:
+        extra["alt_info"] = np.asarray(arrays.alt_info, dtype="S")
     np.savez_compressed(path, matrix=arrays.matrix, label=arrays.label,
                         positions=arrays.positions,
-                        is_variant=arrays.is_variant)
+                        is_variant=arrays.is_variant,
+                        contig=np.array(arrays.contig), **extra)
 
 
 def load_train_arrays(path: str) -> PileupTrainArrays:
     z = np.load(path)
-    return PileupTrainArrays(z["matrix"], z["label"], z["positions"],
-                             z["is_variant"])
+    return PileupTrainArrays(
+        z["matrix"], z["label"], z["positions"], z["is_variant"],
+        contig=str(z["contig"]) if "contig" in z.files else "",
+        ref_seqs=z["ref_seqs"] if "ref_seqs" in z.files else None,
+        alt_info=z["alt_info"] if "alt_info" in z.files else None)
 
 
 def haplotype_train_iterator(

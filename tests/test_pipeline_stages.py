@@ -55,6 +55,30 @@ def test_s1_bam_matches_s1_text(synth_world, tmp_path):
     assert len(a) > 0  # something must be produced for the test to mean much
 
 
+def test_s1_text_streaming_matches_whole_file(synth_world, tmp_path):
+    """Chunked streaming parse (O(chunk) memory) must emit exactly the
+    windows the whole-file parse emits, across unit boundaries and gaps."""
+    cfg = PipelineConfig()
+    ref = FastaReference(synth_world["fasta"])
+    out_whole = tmp_path / "whole"
+    out_stream = tmp_path / "stream"
+    m1 = stages.stage_pileup_features(cfg, ref, synth_world["mdir"],
+                                      str(out_whole), ["chrW"],
+                                      chunk_bytes=1 << 30)
+    # ~4 KB chunks force dozens of carry/boundary handoffs on this world
+    m2 = stages.stage_pileup_features(cfg, ref, synth_world["mdir"],
+                                      str(out_stream), ["chrW"],
+                                      chunk_bytes=4096)
+    a = bins.load_pileup_shard(str(out_whole / "chrW.npz"))
+    b = bins.load_pileup_shard(str(out_stream / "chrW.npz"))
+    assert len(a) > 0
+    np.testing.assert_array_equal(a.positions, b.positions)
+    np.testing.assert_array_equal(a.matrix, b.matrix)
+    np.testing.assert_array_equal(a.ref_seqs, b.ref_seqs)
+    np.testing.assert_array_equal(a.alt_info, b.alt_info)
+    assert m1["rows"] == m2["rows"]
+
+
 def test_full_native_pipeline_end_to_end(synth_world, tmp_path):
     """BAM -> s1 -> s2 -> s4 -> s5 -> s6 entirely through native + JAX
     components (phasing skipped: HP tags are already in the BAM)."""

@@ -20,6 +20,57 @@ def test_train_array_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.label, arrays.label)
 
 
+def test_train_h5_reference_layout_roundtrip(tmp_path):
+    """Reference-layout HDF5 train bin (make_bin_train_data.py schema):
+    dataset names/shapes/dtypes match the reference TrainDataset contract
+    and the arrays round-trip losslessly."""
+    import h5py
+
+    rng = np.random.default_rng(3)
+    n = 7
+    label = np.zeros((n, 90), dtype=np.int32)
+    gt = rng.integers(0, 10, n)
+    zy = rng.integers(0, 3, n)
+    label[np.arange(n), gt] = 1
+    label[np.arange(n), 21 + zy] = 1
+    label[:, 24] = 1
+    label[:, 57] = 1
+    arrays = D.PileupTrainArrays(
+        rng.integers(-20, 20, (n, 33, 18)).astype(np.int32),
+        label,
+        np.arange(100, 100 + n, dtype=np.int64),
+        zy > 0,
+        contig="chrT",
+        ref_seqs=np.asarray([b"ACGTACGTACGTACGTAACGTACGTACGTACGT"] * n,
+                            dtype="S33"),
+        alt_info=np.asarray([f"12-XA 3 ".encode()] * n, dtype="S"),
+    )
+    p = str(tmp_path / "chrT.bin")
+    bins.save_pileup_train_h5(p, arrays)
+
+    with h5py.File(p, "r") as f:
+        # the exact contract PileupModel/dataset.py:75-80 reads
+        assert set(f.keys()) == {"position_matrix", "position", "label",
+                                 "alt_info"}
+        assert f["position_matrix"].shape == (n, 33, 18)
+        assert f["position_matrix"].dtype == np.int32
+        assert f["position"].shape == (n, 1)
+        assert f["position"].dtype == np.dtype("S83")
+        assert f["label"].shape == (n, 90)
+        assert f["alt_info"].dtype == np.dtype("S5000")
+
+    back = bins.load_pileup_train_h5(p)
+    np.testing.assert_array_equal(back.matrix, arrays.matrix)
+    np.testing.assert_array_equal(back.label, arrays.label)
+    np.testing.assert_array_equal(back.positions, arrays.positions)
+    np.testing.assert_array_equal(back.is_variant, arrays.is_variant)
+    assert back.contig == "chrT"
+    dec_a = D.decode_90dim_labels(arrays.label)
+    dec_b = D.decode_90dim_labels(back.label)
+    for k in dec_a:
+        np.testing.assert_array_equal(dec_a[k], dec_b[k])
+
+
 def test_haplotype_train_iterator(tmp_path):
     rng = np.random.default_rng(1)
     n, dp, dh = 40, 12, 10
