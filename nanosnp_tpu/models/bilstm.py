@@ -54,7 +54,8 @@ def init_bilstm_params(
 
 
 def _bilstm_layer(layer: Params, x: jnp.ndarray, compute_dtype,
-                  use_pallas: bool = False) -> jnp.ndarray:
+                  use_pallas: bool = False,
+                  pallas_interpret: bool = False) -> jnp.ndarray:
     """One bidirectional LSTM layer. x: [N, L, D] -> [N, L, 2H] (float32)."""
     n, seq_len, _ = x.shape
     hidden = layer["w_hh"].shape[1]
@@ -74,7 +75,10 @@ def _bilstm_layer(layer: Params, x: jnp.ndarray, compute_dtype,
     if use_pallas:
         from ..ops.pallas_lstm import bilstm_layer_pallas
 
-        hs = bilstm_layer_pallas(xp.astype(jnp.float32), w_hh)
+        # differentiable (custom-VJP Pallas backward), so this path serves
+        # training as well as inference
+        hs = bilstm_layer_pallas(xp.astype(jnp.float32), w_hh,
+                                 interpret=pallas_interpret)
     else:
         h0 = jnp.zeros((2, n, hidden), jnp.float32)
         c0 = jnp.zeros((2, n, hidden), jnp.float32)
@@ -105,18 +109,20 @@ def bilstm_encoder(
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Multi-layer BiLSTM. x: [N, L, D] -> [N, L, 2H].
 
     Dropout applies between layers (not after the last), matching
     torch.nn.LSTM(dropout=...) semantics; active only when a dropout_rng is
     passed (training). use_pallas switches the recurrence to the fused
-    Pallas kernel (TPU inference path).
+    Pallas kernel (forward and backward — the kernel carries a custom VJP).
     """
     out = x
     n_layers = len(layers)
     for idx, layer in enumerate(layers):
-        out = _bilstm_layer(layer, out, compute_dtype, use_pallas=use_pallas)
+        out = _bilstm_layer(layer, out, compute_dtype, use_pallas=use_pallas,
+                            pallas_interpret=pallas_interpret)
         if dropout > 0.0 and dropout_rng is not None and idx < n_layers - 1:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - dropout

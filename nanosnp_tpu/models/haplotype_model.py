@@ -46,6 +46,7 @@ def haplotype_forward(
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     rng_p = rng_h = None
     if dropout_rng is not None:
@@ -54,16 +55,22 @@ def haplotype_forward(
         from ..ops.pallas_lstm import bilstm_encoder_pallas
 
         ctr_p_enc = bilstm_encoder_pallas(params["pileup_encoder"], pileup_x,
-                                          center_only=True)
+                                          center_only=True,
+                                          interpret=pallas_interpret)
         ctr_h_enc = bilstm_encoder_pallas(params["haplotype_encoder"],
-                                          haplotype_x, center_only=True)
+                                          haplotype_x, center_only=True,
+                                          interpret=pallas_interpret)
     else:
         enc_p = bilstm_encoder(params["pileup_encoder"], pileup_x,
                                dropout=cfg.dropout, dropout_rng=rng_p,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               use_pallas=use_pallas,
+                               pallas_interpret=pallas_interpret)
         enc_h = bilstm_encoder(params["haplotype_encoder"], haplotype_x,
                                dropout=cfg.dropout, dropout_rng=rng_h,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               use_pallas=use_pallas,
+                               pallas_interpret=pallas_interpret)
         ctr_p_enc = enc_p[:, cfg.pileup_length // 2, :]
         ctr_h_enc = enc_h[:, cfg.haplotype_length // 2, :]
     ctr_p = linear(params["pileup_proj"], ctr_p_enc, compute_dtype)

@@ -43,6 +43,7 @@ def pileup_forward(
     compute_dtype=jnp.float32,
     all_heads: bool = True,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """x: [N, 33, 18] float. Returns (gt, zy, id1, id2) logits (id* None if
     all_heads=False)."""
@@ -50,13 +51,16 @@ def pileup_forward(
     if use_pallas and dropout_rng is None:
         from ..ops.pallas_lstm import bilstm_encoder_pallas
 
-        ctr = bilstm_encoder_pallas(params["encoder"], x,
-                                    center_only=True)    # [N, 2H]
+        ctr = bilstm_encoder_pallas(params["encoder"], x, center_only=True,
+                                    interpret=pallas_interpret)  # [N, 2H]
     else:
+        # training path: the per-layer Pallas recurrence is differentiable
+        # (custom VJP), dropout stays in XLA between layers
         enc = bilstm_encoder(
             params["encoder"], x,
             dropout=cfg.dropout, dropout_rng=dropout_rng,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
         )                                                # [N, L, 2H]
         ctr = enc[:, center, :]                          # [N, 2H]
     feat = linear(params["proj"], ctr, compute_dtype)    # [N, 128]

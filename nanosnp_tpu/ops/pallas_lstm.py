@@ -166,6 +166,251 @@ def _run_recurrence(xp_t, w_t, *, seq_len, hidden, gate_dim, block_n,
     )(xp_t, w_t)
 
 
+def _train_kernel(xp_hbm, w_ref, out_hbm, cs_hbm, h_ref, c_ref, xbuf, obuf,
+                  cbuf, in_sems, out_sems, c_sems, *, seq_len, hidden,
+                  block_n):
+    """Forward recurrence that also streams the cell states to HBM (the
+    backward pass re-derives the gates from xp + W h_{t-1}, so (h, c) per
+    timestep is the full residual set). Pre-reversed dir-1 layout only."""
+    i = pl.program_id(0)
+
+    def in_copy(t, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[t, :, :, pl.ds(i * block_n, block_n)],
+            xbuf.at[slot], in_sems.at[slot])
+
+    def out_copy(t, slot):
+        return pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[t, :, :, pl.ds(i * block_n, block_n)],
+            out_sems.at[slot])
+
+    def c_copy(t, slot):
+        return pltpu.make_async_copy(
+            cbuf.at[slot], cs_hbm.at[t, :, :, pl.ds(i * block_n, block_n)],
+            c_sems.at[slot])
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    in_copy(0, 0).start()
+    for t in range(seq_len):
+        slot = t % 2
+        if t + 1 < seq_len:
+            in_copy(t + 1, (t + 1) % 2).start()
+        in_copy(t, slot).wait()
+        xt = xbuf[slot].astype(jnp.float32)
+        gates = xt + jax.lax.dot_general(
+            w_ref[...], h_ref[...].astype(w_ref.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ig = jax.nn.sigmoid(gates[:, :hidden, :])
+        fg = jax.nn.sigmoid(gates[:, hidden: 2 * hidden, :])
+        gg = jnp.tanh(gates[:, 2 * hidden: 3 * hidden, :])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden:, :])
+        c = fg * c_ref[...] + ig * gg
+        h = og * jnp.tanh(c)
+        c_ref[...] = c
+        h_ref[...] = h
+        if t >= 2:
+            out_copy(t - 2, slot).wait()
+            c_copy(t - 2, slot).wait()
+        obuf[slot] = h
+        cbuf[slot] = c
+        out_copy(t, slot).start()
+        c_copy(t, slot).start()
+    for t in (seq_len - 2, seq_len - 1):
+        if t >= 0:
+            out_copy(t, t % 2).wait()
+            c_copy(t, t % 2).wait()
+
+
+def _bwd_kernel(xp_hbm, w_ref, hs_hbm, cs_hbm, g_hbm, dxp_hbm, dw_ref,
+                dh_ref, dc_ref, xbuf, gbuf, hbuf, cbuf, ctbuf, dxbuf, sems,
+                out_sems, *, seq_len, hidden, block_n):
+    """Reverse-time recurrence: per step recompute the gates from
+    xp[t] + W h_{t-1}, push cotangents through the cell, accumulate dW in
+    VMEM, stream dxp (= dgate preactivations) back to HBM. Sync input DMA
+    (start+wait per step): the slabs are small and the matmuls dominate."""
+    i = pl.program_id(0)
+
+    def load(hbm, t, buf, sem):
+        cp = pltpu.make_async_copy(
+            hbm.at[t, :, :, pl.ds(i * block_n, block_n)], buf, sem)
+        cp.start()
+        cp.wait()
+
+    def out_copy(t, slot):
+        return pltpu.make_async_copy(
+            dxbuf.at[slot],
+            dxp_hbm.at[t, :, :, pl.ds(i * block_n, block_n)],
+            out_sems.at[slot])
+
+    dh_ref[...] = jnp.zeros_like(dh_ref)
+    dc_ref[...] = jnp.zeros_like(dc_ref)
+    dw_ref[0] = jnp.zeros_like(dw_ref[0])
+    load(cs_hbm, seq_len - 1, ctbuf, sems.at[4])
+    for t in range(seq_len - 1, -1, -1):
+        slot = t % 2
+        load(xp_hbm, t, xbuf, sems.at[0])
+        load(g_hbm, t, gbuf, sems.at[1])
+        if t > 0:
+            load(hs_hbm, t - 1, hbuf, sems.at[2])
+            load(cs_hbm, t - 1, cbuf, sems.at[3])
+        else:
+            hbuf[...] = jnp.zeros_like(hbuf)
+            cbuf[...] = jnp.zeros_like(cbuf)
+        h_prev = hbuf[...].astype(jnp.float32)
+        c_prev = cbuf[...].astype(jnp.float32)
+        c_t = ctbuf[...].astype(jnp.float32)
+        gates = xbuf[...].astype(jnp.float32) + jax.lax.dot_general(
+            w_ref[...], hbuf[...].astype(w_ref.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ig = jax.nn.sigmoid(gates[:, :hidden, :])
+        fg = jax.nn.sigmoid(gates[:, hidden: 2 * hidden, :])
+        gg = jnp.tanh(gates[:, 2 * hidden: 3 * hidden, :])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden:, :])
+        tanh_ct = jnp.tanh(c_t)
+
+        dh = gbuf[...].astype(jnp.float32) + dh_ref[...]
+        do_pre = dh * tanh_ct * og * (1.0 - og)
+        dc = dh * og * (1.0 - tanh_ct * tanh_ct) + dc_ref[...]
+        di_pre = dc * gg * ig * (1.0 - ig)
+        df_pre = dc * c_prev * fg * (1.0 - fg)
+        dg_pre = dc * ig * (1.0 - gg * gg)
+        dgates = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=1)
+
+        # dW[z, k, h] += sum_n dgates[z, k, n] * h_prev[z, h, n]
+        dw_ref[0] += jax.lax.dot_general(
+            dgates, h_prev,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # dh_prev[z, h, n] = sum_k w[z, k, h] * dgates[z, k, n]
+        dh_ref[...] = jax.lax.dot_general(
+            w_ref[...], dgates.astype(w_ref.dtype),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dc_ref[...] = dc * fg
+
+        if t + 2 < seq_len:
+            out_copy(t + 2, slot).wait()
+        dxbuf[slot] = dgates
+        out_copy(t, slot).start()
+        # this step's c_{t-1} is the next (t-1) step's c_t
+        ctbuf[...] = cbuf[...]
+    for t in (1, 0):
+        if t < seq_len:
+            out_copy(t, t % 2).wait()
+
+
+def _run_recurrence_train(xp_t, w_t, *, seq_len, hidden, gate_dim, block_n,
+                          interpret):
+    """Forward with residuals: returns (hs, cs), both [L, 2, H, Npad] f32."""
+    n_pad = xp_t.shape[-1]
+    grid = (n_pad // block_n,)
+    return pl.pallas_call(
+        functools.partial(_train_kernel, seq_len=seq_len, hidden=hidden,
+                          block_n=block_n),
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, 2, hidden, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((seq_len, 2, hidden, n_pad), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((2, gate_dim, hidden), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),      # h
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),      # c
+            pltpu.VMEM((2, 2, gate_dim, block_n), xp_t.dtype),  # in slabs
+            pltpu.VMEM((2, 2, hidden, block_n), jnp.float32),   # h out slabs
+            pltpu.VMEM((2, 2, hidden, block_n), jnp.float32),   # c out slabs
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(xp_t, w_t)
+
+
+def _run_recurrence_bwd(xp_t, w_t, hs, cs, g, *, seq_len, hidden, gate_dim,
+                        block_n, interpret):
+    """Backward: returns (dxp [L,2,4H,Npad] f32, dw_tiles [G,2,4H,H] f32)."""
+    n_pad = xp_t.shape[-1]
+    grid = (n_pad // block_n,)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, seq_len=seq_len, hidden=hidden,
+                          block_n=block_n),
+        out_shape=[
+            jax.ShapeDtypeStruct((seq_len, 2, gate_dim, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], 2, gate_dim, hidden), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((2, gate_dim, hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((1, 2, gate_dim, hidden), lambda i: (i, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # dh carry
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # dc carry
+            pltpu.VMEM((2, gate_dim, block_n), xp_t.dtype),      # xp slab
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # g slab
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # h_prev
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # c_prev
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # c_t
+            pltpu.VMEM((2, 2, gate_dim, block_n), jnp.float32),  # dxp slabs
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(xp_t, w_t, hs, cs, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _recurrence(xp_t, w_t, meta):
+    """Differentiable fused recurrence (pre-reversed dir-1 layout).
+
+    xp_t [L, 2, 4H, Npad], w_t [2, 4H, H] -> hs [L, 2, H, Npad] f32.
+    meta = (seq_len, hidden, gate_dim, block_n, interpret)."""
+    seq_len, hidden, gate_dim, block_n, interpret = meta
+    return _run_recurrence(xp_t, w_t, seq_len=seq_len, hidden=hidden,
+                           gate_dim=gate_dim, block_n=block_n,
+                           reverse_dir1=False, interpret=interpret,
+                           out_dtype=jnp.float32)
+
+
+def _recurrence_fwd(xp_t, w_t, meta):
+    seq_len, hidden, gate_dim, block_n, interpret = meta
+    hs, cs = _run_recurrence_train(xp_t, w_t, seq_len=seq_len, hidden=hidden,
+                                   gate_dim=gate_dim, block_n=block_n,
+                                   interpret=interpret)
+    return hs, (xp_t, w_t, hs, cs)
+
+
+def _recurrence_bwd(meta, res, g):
+    seq_len, hidden, gate_dim, block_n, interpret = meta
+    xp_t, w_t, hs, cs = res
+    dxp, dw_tiles = _run_recurrence_bwd(
+        xp_t, w_t, hs, cs, g.astype(jnp.float32), seq_len=seq_len,
+        hidden=hidden, gate_dim=gate_dim, block_n=block_n,
+        interpret=interpret)
+    return dxp.astype(xp_t.dtype), dw_tiles.sum(axis=0).astype(w_t.dtype)
+
+
+_recurrence.defvjp(_recurrence_fwd, _recurrence_bwd)
+
+
 def _pick_block(n: int, block_n: int) -> int:
     if n < block_n:
         return max(128, 1 << (max(n - 1, 1)).bit_length())
@@ -181,7 +426,12 @@ def bilstm_layer_pallas(
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Drop-in recurrence for models/bilstm._bilstm_layer.
-    Returns hs [L, 2, N, H] float32 (dir-1 outputs still time-reversed)."""
+    Returns hs [L, 2, N, H] float32 (dir-1 outputs still time-reversed).
+
+    Differentiable: the recurrence carries a custom VJP whose backward is
+    itself a Pallas kernel (reverse-time sweep, gates recomputed from
+    xp + W h_{t-1}, dW accumulated in VMEM), so training uses the fused
+    path end to end."""
     seq_len, ndir, n, gate_dim = xp.shape
     hidden = gate_dim // 4
     assert ndir == 2
@@ -191,10 +441,8 @@ def bilstm_layer_pallas(
     if pad:
         xp_t = jnp.pad(xp_t, ((0, 0), (0, 0), (0, 0), (0, pad)))
     w_t = jnp.transpose(w_hh, (0, 2, 1)).astype(compute_dtype)
-    out = _run_recurrence(xp_t, w_t, seq_len=seq_len, hidden=hidden,
-                          gate_dim=gate_dim, block_n=block_n,
-                          reverse_dir1=False, interpret=interpret,
-                          out_dtype=jnp.float32)
+    meta = (seq_len, hidden, gate_dim, block_n, interpret)
+    out = _recurrence(xp_t, w_t, meta)
     hs = jnp.transpose(out, (0, 1, 3, 2))           # [L, 2, n_pad, H]
     if pad:
         hs = hs[:, :, :n, :]

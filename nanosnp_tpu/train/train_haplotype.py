@@ -46,7 +46,8 @@ def _featurize(batch):
 
 def make_haplotype_train_step(mcfg: HaplotypeModelConfig, tcfg: TrainConfig,
                               tx: optax.GradientTransformation,
-                              featurize_on_device: bool = True):
+                              featurize_on_device: bool = True,
+                              use_pallas: bool = False):
     smoothing = tcfg.optim.label_smoothing
     mask = freeze_mask_fn(tuple(tcfg.freeze_prefixes))
 
@@ -56,7 +57,8 @@ def make_haplotype_train_step(mcfg: HaplotypeModelConfig, tcfg: TrainConfig,
         else:
             xp, xh = batch["xp"], batch["xh"]
         gt, zy = haplotype_forward(params, xp, xh, mcfg,
-                                   dropout_rng=dropout_rng)
+                                   dropout_rng=dropout_rng,
+                                   use_pallas=use_pallas)
         gt_loss = label_smoothing_loss(gt, batch["gt"], smoothing)
         zy_loss = label_smoothing_loss(zy, batch["zy"], smoothing)
         loss = gt_loss + zy_loss
@@ -146,7 +148,10 @@ def train_haplotype(
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
-    raw_step = make_haplotype_train_step(mcfg, tcfg, tx)
+    from .train_pileup import resolve_train_pallas
+
+    raw_step = make_haplotype_train_step(
+        mcfg, tcfg, tx, use_pallas=resolve_train_pallas())
     step_fn = jax.jit(raw_step, donate_argnums=(0, 1))
     multi_fn = jax.jit(make_multi_step(raw_step), donate_argnums=(0, 1))
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -62,14 +62,26 @@ def freeze_mask_fn(freeze_prefixes: Tuple[str, ...]):
     return mask
 
 
+def resolve_train_pallas(value="auto") -> bool:
+    """Training uses the fused Pallas recurrence (fwd + custom-VJP bwd) on
+    real TPU; the scan path elsewhere."""
+    if value == "auto":
+        from ..ops.pallas_lstm import pallas_supported
+
+        return pallas_supported()
+    return bool(value)
+
+
 def make_pileup_train_step(mcfg: PileupModelConfig, tcfg: TrainConfig,
-                           tx: optax.GradientTransformation):
+                           tx: optax.GradientTransformation,
+                           use_pallas: bool = False):
     smoothing = tcfg.optim.label_smoothing
     mask = freeze_mask_fn(tuple(tcfg.freeze_prefixes))
 
     def loss_fn(params, x, gt_target, zy_target, dropout_rng):
         gt, zy, _, _ = pileup_forward(params, x, mcfg,
-                                      dropout_rng=dropout_rng, all_heads=False)
+                                      dropout_rng=dropout_rng, all_heads=False,
+                                      use_pallas=use_pallas)
         gt_loss = label_smoothing_loss(gt, gt_target, smoothing)
         zy_loss = label_smoothing_loss(zy, zy_target, smoothing)
         loss = gt_loss + zy_loss
@@ -210,7 +222,8 @@ def train_pileup(
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
-    raw_step = make_pileup_train_step(mcfg, tcfg, tx)
+    raw_step = make_pileup_train_step(mcfg, tcfg, tx,
+                                      use_pallas=resolve_train_pallas())
 
     def tuple_step(p, o, batch, r, f):
         return raw_step(p, o, batch[0], batch[1], batch[2], r, f)

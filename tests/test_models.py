@@ -192,3 +192,23 @@ def test_init_shapes_and_jit():
     )
     assert gt.shape == (4, 10) and zy.shape == (4, 3)
     np.testing.assert_allclose(np.asarray(gt.sum(1)), 1.0, atol=1e-5)
+
+
+def test_shipped_haplotype_checkpoint_loads():
+    """The checked-in fp16 npz haplotype weights load through the standard
+    checkpoint loader and drive the model (shape + normalization sanity)."""
+    import os
+
+    from nanosnp_tpu.train.train_pileup import load_checkpoint
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "nanosnp_tpu", "models", "weights",
+        "ont_haplotype_synthetic.npz")
+    params, _ = load_checkpoint(path)
+    cfg = HaplotypeModelConfig()
+    rng = np.random.default_rng(5)
+    xp = jnp.asarray(rng.standard_normal((3, 33, 105)), jnp.float32)
+    xh = jnp.asarray(rng.standard_normal((3, 11, 105)), jnp.float32)
+    gt, zy = haplotype_predict(params, xp, xh, cfg)
+    assert gt.shape == (3, 10) and zy.shape == (3, 3)
+    np.testing.assert_allclose(np.asarray(gt.sum(1)), 1.0, atol=1e-5)
