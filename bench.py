@@ -314,6 +314,7 @@ def bench_scaling_2proc():
             e["JAX_PLATFORMS"] = "cpu"
             e["PYTHONPATH"] = REPO + os.pathsep + e.get("PYTHONPATH", "")
             e["NSP_JAX_CACHE"] = os.path.join(tmp, "jaxcache")
+            e["JAX_COMPILATION_CACHE_DIR"] = os.path.join(tmp, "jaxcache")
             for k in ("NSP_COORDINATOR", "NSP_NUM_PROCS", "NSP_PROC_ID"):
                 e.pop(k, None)
             return e
@@ -322,6 +323,10 @@ def bench_scaling_2proc():
             d = os.path.join(out_dir, ".stages")
             return sum(json.load(open(os.path.join(d, f)))["seconds"]
                        for f in os.listdir(d))
+
+        def s2_rate(out_dir):
+            p = os.path.join(out_dir, ".stages", "s2_pileup_predict.done")
+            return json.load(open(p))["metrics"].get("sites_per_s", 0.0)
 
         def run_single(tag):
             out = os.path.join(tmp, tag)
@@ -362,10 +367,22 @@ def bench_scaling_2proc():
         run_dual("warm2")     # ...and the multi-host config's cache entries
         t1 = run_single("single")
         t2 = run_dual("dual")
+        single_rate = s2_rate(os.path.join(tmp, "single"))
+        dual_rates = [s2_rate(os.path.join(tmp, "dual", f"host{h}"))
+                      for h in range(2)]
+        # On this shared 4-core box both "hosts" contend for memory
+        # bandwidth and pay full fixed costs (BAM index, model load), so
+        # wall efficiency understates a real deployment where each host
+        # owns its chips. s2_device_stage_efficiency is the aggregate
+        # inference throughput ratio — the number DCN-scaled TPU hosts
+        # would see.
         return {"t_1host_2cores_s": round(t1, 2),
                 "t_2hosts_2cores_each_s": round(t2, 2),
                 "speedup": round(t1 / t2, 3),
-                "efficiency": round(t1 / (2 * t2), 3)}
+                "efficiency": round(t1 / (2 * t2), 3),
+                "s2_device_stage_efficiency": round(
+                    sum(dual_rates) / (2 * single_rate), 3)
+                    if single_rate else None}
     except Exception as e:
         return {"error": str(e)[:300]}
     finally:
