@@ -42,7 +42,7 @@ def _bind(lib):
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p]
     lib._bam_bound = True
     return lib
 
@@ -153,8 +153,10 @@ class BamFile:
         max_reads: int = 1024,
     ) -> Optional[Dict[str, np.ndarray]]:
         """Matrices over reads x requested positions: base (0/1-4/-1),
-        baseq, mapq [R, P] int32; hap [R]; rows sorted to pysam pileup
-        order. Returns None when no read covers any position."""
+        baseq, mapq [R, P] int32; hap [R]; read_ids [R] int64 (stable
+        per-record identity — the record's inflated-stream offset); rows
+        sorted to pysam pileup order. Returns None when no read covers any
+        position."""
         positions1 = np.asarray(positions1, dtype=np.int64)
         n_pos = len(positions1)
         for _ in range(4):
@@ -163,11 +165,12 @@ class BamFile:
             mapq = np.zeros((max_reads, n_pos), dtype=np.int32)
             hap = np.zeros(max_reads, dtype=np.int32)
             first_col = np.zeros(max_reads, dtype=np.int32)
+            read_ids = np.zeros(max_reads, dtype=np.int64)
             ret = self.lib.nsp_bam_read_matrices(
                 self.handle, contig.encode(), _ptr(positions1), n_pos,
                 min_mq, excl_flags, max_reads,
                 _ptr(base), _ptr(baseq), _ptr(mapq), _ptr(hap),
-                _ptr(first_col))
+                _ptr(first_col), _ptr(read_ids))
             if ret >= 0:
                 break
             if ret in (-1, -2):
@@ -185,4 +188,5 @@ class BamFile:
             "mapq": mapq[:r][order],
             "hap_tags": hap[:r][order],
             "first_col": first_col[:r][order],
+            "read_ids": read_ids[:r][order],
         }

@@ -289,13 +289,20 @@ struct RegionIter {
     ok = fetch_inflated(b, lo, hi, window, &base);
   }
 
+  // inflated-stream offset of the record last returned by next(): unique
+  // and stable per record, usable as a read identity across calls
+  uint64_t last_off = 0;
+
   bool next(BamRecord* r) {
     while (ok && next_i < entries.size()) {
       const RecordIdx* ri = entries[next_i++];
       uint64_t rel = ri->off - base;
       if (rel + ri->len > window.size()) continue;  // corrupt span: skip
       uint32_t rec_len;
-      if (parse_record(window.data() + rel, ri->len, r, &rec_len)) return true;
+      if (parse_record(window.data() + rel, ri->len, r, &rec_len)) {
+        last_off = ri->off;
+        return true;
+      }
     }
     return false;
   }
@@ -640,7 +647,8 @@ int64_t nsp_bam_read_matrices(
     int min_mq, int excl_flags,
     int64_t max_reads,
     int32_t* base_out, int32_t* baseq_out, int32_t* mapq_out,
-    int32_t* hap_out, int32_t* first_col_out) {
+    int32_t* hap_out, int32_t* first_col_out,
+    int64_t* readid_out /* may be null: per-row stable record id */) {
   OpenBam* b;
   {
     std::lock_guard<std::mutex> lk(g_mu);
@@ -730,6 +738,7 @@ int64_t nsp_bam_read_matrices(
         if (aux_int(r, "HP", &val)) hp = val;
         hap_out[n_reads] = (int32_t)hp;
         first_col_out[n_reads] = first_col;
+        if (readid_out) readid_out[n_reads] = (int64_t)iter.last_off;
       }
       ++n_reads;
     }

@@ -62,8 +62,13 @@ def main(argv=None):
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--allow-unphased", action="store_true",
                    help="proceed through s4/s5 with untagged reads when "
-                        "whatshap is unavailable (degrades haplotype "
+                        "no phaser is available (degrades haplotype "
                         "features; off by default)")
+    p.add_argument("--phaser", default="auto",
+                   choices=["auto", "whatshap", "native", "unphased"],
+                   help="s3 engine: whatshap (reference parity, external), "
+                        "native (built-in read-backed phaser, no external "
+                        "deps), auto = whatshap if installed else native")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address host:port "
                         "(or env NSP_COORDINATOR)")
@@ -444,24 +449,39 @@ def _run_call(args, cfg) -> int:
         merge_vcf = os.path.join(work_dir, "merge.vcf")
         tag_dir_holder = {}
 
+        phase_native_dir = os.path.join(work_dir, "phase_native")
+
         def s3(**kw):
             if not args.bam:
                 raise SystemExit("stages s3-s5 need --bam")
-            if not external.have("whatshap"):
-                # No phaser available. Unphased reads degrade the haplotype
-                # features (every read lands in the 'unphased' group), so
-                # this is opt-in — the reference hard-depends on whatshap
+            mode = getattr(args, "phaser", "auto")
+            if mode == "auto":
+                mode = "whatshap" if external.have("whatshap") else "native"
+            if mode == "unphased" or (mode == "whatshap"
+                                      and not external.have("whatshap")):
+                # No phaser. Unphased reads degrade the haplotype features
+                # (every read lands in the 'unphased' group), so this is
+                # opt-in — the reference hard-depends on whatshap
                 # (scripts/s3_phasing_long_reads.sh:48-69).
                 if not getattr(args, "allow_unphased", False):
                     raise SystemExit(
-                        "whatshap not found: s3 phasing is impossible. "
-                        "Install whatshap, or pass --allow-unphased to run "
-                        "s4/s5 with every read in the unphased group "
-                        "(reduced accuracy), or drop --haplotype-model to "
-                        "stop after the pileup stage.")
+                        f"phaser '{mode}' unavailable: install whatshap, "
+                        "use --phaser native (built-in), pass "
+                        "--allow-unphased to run s4/s5 with every read "
+                        "unphased (reduced accuracy), or drop "
+                        "--haplotype-model to stop after the pileup stage.")
                 tag_dir_holder["paths"] = {c: args.bam for c in contigs}
                 return {"phased": 0, "unphased_fallback": True,
-                        "note": "whatshap unavailable (--allow-unphased)"}
+                        "note": f"phaser {mode} (--allow-unphased)"}
+            if mode == "native":
+                m = stages.stage_phase_native(
+                    cfg, ref, pileup_vcf, args.bam, phase_native_dir,
+                    contigs)
+                tag_dir_holder["paths"] = {c: args.bam for c in contigs}
+                tag_dir_holder["hp_overrides"] = \
+                    stages.load_native_phase_overrides(phase_native_dir)
+                m["engine"] = "native"
+                return m
             from ..decode.sort import select_phasing_hetesnps
 
             work = os.path.join(work_dir, "phase_work")
@@ -487,18 +507,26 @@ def _run_call(args, cfg) -> int:
 
         def s4(**kw):
             paths = tag_dir_holder.get("paths")
+            hp_overrides = tag_dir_holder.get("hp_overrides")
             if not paths:
-                # resumed run: pick up previously haplotagged BAMs if present
+                # resumed run: pick up previously haplotagged BAMs or the
+                # native phaser's HP partition if present
                 tag_dir = os.path.join(work_dir, "phase_work",
                                        "haplotag_out")
                 if os.path.isdir(tag_dir) and os.listdir(tag_dir):
                     paths = {f[:-4]: os.path.join(tag_dir, f)
                              for f in os.listdir(tag_dir)
                              if f.endswith(".bam")}
+                elif os.path.isdir(phase_native_dir):
+                    hp_overrides = stages.load_native_phase_overrides(
+                        phase_native_dir)
+                    if hp_overrides:
+                        paths = {c: args.bam for c in contigs}
             if not paths:
                 paths = {c: args.bam for c in contigs}
             extractor = NativeBamExtractor(
-                paths, cfg.haplotype_feature.max_coverage)
+                paths, cfg.haplotype_feature.max_coverage,
+                hp_overrides=hp_overrides)
             try:
                 return stages.stage_haplotype_features(
                     cfg, ref, pileup_vcf, extractor, hap_shards)

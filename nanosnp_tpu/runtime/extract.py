@@ -33,9 +33,13 @@ class NativeBamExtractor:
     """ReadMatrixExtractor over per-contig haplotagged BAMs
     (stage_haplotype_features signature: (contig, groups, flank) -> mats)."""
 
-    def __init__(self, bam_dir_or_paths, max_coverage: int = C.MAX_COVERAGE):
+    def __init__(self, bam_dir_or_paths, max_coverage: int = C.MAX_COVERAGE,
+                 hp_overrides=None):
         # bam_dir_or_paths: directory with {contig}.bam, or {contig: path}
+        # hp_overrides: {contig: {read_id: 1|2}} from the native phaser —
+        # replaces BAM HP tags so no tagged-BAM round trip is needed
         self.max_coverage = max_coverage
+        self.hp_overrides = hp_overrides or {}
         if isinstance(bam_dir_or_paths, dict):
             self.paths = dict(bam_dir_or_paths)
         else:
@@ -98,6 +102,11 @@ class NativeBamExtractor:
         bqm = mats["baseq"]
         mqm = mats["mapq"]
         hap_tag = mats["hap_tags"]
+        over = self.hp_overrides.get(contig)
+        if over:
+            hap_tag = np.array(
+                [over.get(int(rid), 3) for rid in mats["read_ids"]],
+                dtype=np.int32)
         # hap matrix: tag at covered cells, 0 elsewhere
         # (create_pileup_haplotype.py:124,132)
         hapm = np.where(seqm != 0, hap_tag[:, None], 0).astype(np.int32)

@@ -619,6 +619,79 @@ def _bucket(d: int, buckets=(16, 32, 48, 64, 96, 128, 192, 256, 384, 512)) -> in
     return ((d + 127) // 128) * 128
 
 
+def stage_phase_native(
+    cfg: PipelineConfig,
+    ref: FastaReference,
+    pileup_vcf: str,
+    bam_path: str,
+    out_dir: str,
+    contigs: Optional[Sequence[str]] = None,
+) -> Dict:
+    """s3 without whatshap: native read-backed phasing.
+
+    Selects phasing-input hets exactly like the reference
+    (select_high_quality_hetesnps.py, QUAL >= phase_het_quality), phases
+    them from the read allele matrix (phase/native_phaser.py), writes a
+    whatshap-style phased VCF per contig plus the read->HP partition
+    ({contig}.hp.npz: read_ids + hp), which s4 injects in place of BAM HP
+    tags — no tagged-BAM round trip."""
+    from ..decode.sort import select_phasing_hetesnps
+    from ..io.bam import BamFile
+    from ..phase.native_phaser import phase_contig, write_phased_vcf
+
+    os.makedirs(out_dir, exist_ok=True)
+    hf = cfg.haplotype_feature
+    with open(pileup_vcf) as f:
+        header, per_contig = select_phasing_hetesnps(f, hf.phase_het_quality)
+    want = set(contigs) if contigs else None
+    t0 = time.monotonic()
+    totals = {"sites": 0, "phased_sites": 0, "blocks": 0, "tagged_reads": 0}
+    with BamFile(bam_path) as bam:
+        for ctg in sorted(per_contig, key=C.contig_sort_key):
+            if want is not None and ctg not in want:
+                continue
+            rows = per_contig[ctg]
+            pos, refs, alts = [], [], []
+            for row in rows:
+                cols = row.split("\t")
+                if len(cols[3]) == 1 and len(cols[4].split(",")[0]) == 1:
+                    pos.append(int(cols[1]))
+                    refs.append(cols[3])
+                    alts.append(cols[4].split(",")[0])
+            if not pos:
+                continue
+            result = phase_contig(
+                bam, ctg, np.asarray(pos, dtype=np.int64), refs, alts,
+                min_mq=cfg.pileup_feature.mpileup_min_mq)
+            np.savez_compressed(
+                os.path.join(out_dir, f"{ctg}.hp.npz"),
+                read_ids=np.array(list(result.read_hp), dtype=np.int64),
+                hp=np.array(list(result.read_hp.values()), dtype=np.int8))
+            with open(os.path.join(out_dir, f"{ctg}.phased.vcf"), "w") as out:
+                out.writelines(header)
+                write_phased_vcf(result, rows, out)
+            totals["sites"] += len(pos)
+            totals["phased_sites"] += int((result.hap_of_alt != 0).sum())
+            totals["blocks"] += result.n_blocks
+            totals["tagged_reads"] += len(result.read_hp)
+    dt = time.monotonic() - t0
+    totals["seconds"] = round(dt, 2)
+    return totals
+
+
+def load_native_phase_overrides(out_dir: str) -> Dict[str, Dict[int, int]]:
+    """{contig: {read_id: hp}} from a stage_phase_native output dir."""
+    overrides: Dict[str, Dict[int, int]] = {}
+    if not os.path.isdir(out_dir):
+        return overrides
+    for f in os.listdir(out_dir):
+        if f.endswith(".hp.npz"):
+            z = np.load(os.path.join(out_dir, f))
+            overrides[f[: -len(".hp.npz")]] = {
+                int(r): int(h) for r, h in zip(z["read_ids"], z["hp"])}
+    return overrides
+
+
 def stage_merge(
     cfg: PipelineConfig,
     pileup_vcf: str,
