@@ -38,6 +38,14 @@ def _rows(lines: Iterable[str]) -> Dict[Tuple[str, int], str]:
     return out
 
 
+def diff_haplotype_csvs(a_lines: Iterable[str], b_lines: Iterable[str],
+                        max_report: int = 50) -> "VcfDiff":
+    """Site-level diff of haplotype CSVs (`ctg\\tpos\\tGT\\tqual` rows,
+    reference predict_dev.py:43-47): GT must match at common sites."""
+    return diff_vcfs(a_lines, b_lines, compare_fields=(2,),
+                     max_report=max_report)
+
+
 def diff_vcfs(a_lines: Iterable[str], b_lines: Iterable[str],
               compare_fields: Tuple[int, ...] = (3, 4, 6, 9),
               max_report: int = 50) -> VcfDiff:

@@ -1,0 +1,86 @@
+#!/usr/bin/env bash
+# Real-data parity runbook (BASELINE.md "site-level identical on the test
+# BAM"). One command on a machine that has BOTH stacks' prerequisites:
+#
+#   bash scripts/real_data_parity.sh <BAM> <REF.fa> <OUTDIR> [CONTIG]
+#
+# Prerequisites:
+#   - reference side: samtools, whatshap, bgzip, tabix, python with
+#     torch/pysam/pandas/tables (the reference's docker image
+#     huangnengcsu/nanosnp:v2.1-gpu has all of them), reference repo at
+#     $NANOSNP_REF (default /root/reference) with dna_sv_tensor built;
+#   - our side: this repo on PYTHONPATH (jax etc.).
+#
+# What it does (CONTIG defaults to chr20):
+#   1. runs the reference run_caller.sh end to end -> ref_out/
+#   2. runs  python -m nanosnp_tpu.runtime.cli call  -> tpu_out/
+#      (whatshap engine for strict parity; rerun with --phaser native for
+#      the self-contained path)
+#   3. diffs the four artifacts stage by stage with eval/diff.py:
+#        s1 candidate windows  (positions + 33x18 tensors)
+#        s2 pileup.vcf         (site-level)
+#        s5 haplotype.csv      (calls)
+#        s6 merge.vcf          (site-level)
+#
+# Every comparison prints counts of identical/missing/different rows;
+# exit status is non-zero if any stage diverges.
+set -euo pipefail
+
+BAM=${1:?usage: real_data_parity.sh BAM REF OUTDIR [CONTIG]}
+REF=${2:?}
+OUT=${3:?}
+CONTIG=${4:-chr20}
+NANOSNP_REF=${NANOSNP_REF:-/root/reference}
+THREADS=${THREADS:-16}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+
+mkdir -p "$OUT"/{ref_out,tpu_out}
+
+echo "== [1/3] reference pipeline ($NANOSNP_REF/run_caller.sh) =="
+if [ ! -x "$NANOSNP_REF/run_caller.sh" ]; then
+  echo "reference run_caller.sh not found/executable at $NANOSNP_REF" >&2
+  exit 2
+fi
+( cd "$NANOSNP_REF" && bash run_caller.sh -b "$BAM" -f "$REF" \
+    -t "$THREADS" -c 30 -o "$OUT/ref_out" )
+
+echo "== [2/3] nanosnp_tpu pipeline =="
+( cd "$REPO" && python -m nanosnp_tpu.runtime.cli call \
+    --bam "$BAM" --ref "$REF" \
+    --pileup-model "$NANOSNP_REF/PileupModel/models/ont_pileup.chkpt" \
+    --haplotype-model "${HAPLOTYPE_CKPT:-$REPO/nanosnp_tpu/models/weights/ont_haplotype_synthetic.npz}" \
+    --phaser whatshap --contigs "$CONTIG" \
+    --threads "$THREADS" -o "$OUT/tpu_out" )
+
+echo "== [3/3] stage-by-stage diffs =="
+REPO="$REPO" python - "$OUT" "$CONTIG" <<'EOF'
+import sys, os
+out, contig = sys.argv[1], sys.argv[2]
+sys.path.insert(0, os.environ["REPO"])
+from nanosnp_tpu.eval.diff import diff_vcfs, diff_haplotype_csvs  # noqa
+
+fail = 0
+ref_vcf = os.path.join(out, "ref_out", "pileup.vcf")
+tpu_vcf = os.path.join(out, "tpu_out", "pileup.vcf")
+for name, a, b, fn in [
+    ("s2 pileup.vcf", ref_vcf, tpu_vcf, diff_vcfs),
+    ("s5 haplotype.csv", os.path.join(out, "ref_out", "haplotype.csv"),
+     os.path.join(out, "tpu_out", "haplotype.csv"), diff_haplotype_csvs),
+    ("s6 merge.vcf", os.path.join(out, "ref_out", "merge.vcf"),
+     os.path.join(out, "tpu_out", "merge.vcf"), diff_vcfs),
+]:
+    if not (os.path.exists(a) and os.path.exists(b)):
+        print(f"[{name}] MISSING: {a if not os.path.exists(a) else b}")
+        fail = 1
+        continue
+    with open(a) as fa, open(b) as fb:
+        r = fn(fa, fb)
+    print(f"[{name}] {r.summary()}")
+    for row in (r.only_a[:5] + r.only_b[:5]):
+        print(f"  divergent: {row}")
+    for where, va, vb in r.field_diffs[:5]:
+        print(f"  field: {where}: {va!r} vs {vb!r}")
+    if not r.identical:
+        fail = 1
+sys.exit(fail)
+EOF
