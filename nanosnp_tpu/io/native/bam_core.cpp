@@ -33,11 +33,15 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
 #include <unordered_map>
 #include <vector>
+
+#include <sys/stat.h>
+#include <unistd.h>
 
 #include <zlib.h>
 
@@ -89,10 +93,27 @@ struct OpenBam {
   uint64_t total_inflated = 0;
   std::mutex io_mu;                       // serializes file reads
 
+  // LRU cache of inflated blocks: overlapping region queries (phaser
+  // windows, s1 chunk flanks, s4 group sweeps) stop re-inflating the same
+  // BGZF blocks. Keyed by block index; bounded by NSP_BAM_CACHE_MB
+  // (default 256, 0 disables). Guarded by io_mu.
+  std::unordered_map<size_t, std::vector<uint8_t>> block_cache;
+  std::vector<size_t> lru_order;          // most-recent at back
+  size_t cache_bytes = 0;
+
   ~OpenBam() {
     if (f) std::fclose(f);
   }
 };
+
+size_t cache_cap_bytes() {
+  static size_t cap = [] {
+    const char* v = std::getenv("NSP_BAM_CACHE_MB");
+    long mb = v ? std::atol(v) : 256;
+    return (size_t)(mb > 0 ? mb : 0) << 20;
+  }();
+  return cap;
+}
 
 std::mutex g_mu;
 std::unordered_map<int64_t, OpenBam*> g_open;
@@ -253,10 +274,32 @@ bool fetch_inflated(OpenBam* b, uint64_t lo, uint64_t hi,
   *base = b->blocks[i].infl_off;
   buf.clear();
   std::lock_guard<std::mutex> lk(b->io_mu);
+  size_t cap = cache_cap_bytes();
   for (; i < b->blocks.size() && b->blocks[i].infl_off < hi; ++i) {
+    auto it = b->block_cache.find(i);
+    if (it != b->block_cache.end()) {
+      buf.insert(buf.end(), it->second.begin(), it->second.end());
+      continue;
+    }
     uint32_t cl, il;
+    size_t before = buf.size();
     if (!inflate_member(b->f, b->blocks[i].file_off, buf, &cl, &il))
       return false;
+    if (cap) {
+      b->block_cache.emplace(
+          i, std::vector<uint8_t>(buf.begin() + before, buf.end()));
+      b->lru_order.push_back(i);
+      b->cache_bytes += il;
+      while (b->cache_bytes > cap && !b->lru_order.empty()) {
+        size_t victim = b->lru_order.front();
+        b->lru_order.erase(b->lru_order.begin());
+        auto vit = b->block_cache.find(victim);
+        if (vit != b->block_cache.end()) {
+          b->cache_bytes -= vit->second.size();
+          b->block_cache.erase(vit);
+        }
+      }
+    }
   }
   return true;
 }
@@ -308,6 +351,107 @@ struct RegionIter {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Sidecar index (.nsi): persists the BGZF block table + record index so
+// reopening a BAM (resume, multi-host fan-out where every host opens the
+// same file) skips the full-file streaming scan. Native-endian internal
+// format, validated against the BAM's (size, mtime).
+// ---------------------------------------------------------------------------
+
+static const uint32_t NSI_MAGIC = 0x3149534e;  // "NSI1"
+
+static bool bam_stat(const char* path, uint64_t* size, uint64_t* mtime) {
+  struct stat st;
+  if (stat(path, &st) != 0) return false;
+  *size = (uint64_t)st.st_size;
+  *mtime = (uint64_t)st.st_mtime;
+  return true;
+}
+
+static std::string sidecar_path(const char* path) {
+  return std::string(path) + ".nsi";
+}
+
+static bool sidecar_enabled() {
+  const char* v = std::getenv("NSP_BAM_INDEX");
+  return !(v && v[0] == '0');
+}
+
+template <typename T>
+static bool rd(FILE* f, T* out) { return std::fread(out, sizeof(T), 1, f) == 1; }
+template <typename T>
+static bool wr(FILE* f, const T& v) { return std::fwrite(&v, sizeof(T), 1, f) == 1; }
+
+static bool try_load_sidecar(OpenBam* b, const char* path) {
+  if (!sidecar_enabled()) return false;
+  uint64_t size, mtime;
+  if (!bam_stat(path, &size, &mtime)) return false;
+  FILE* f = std::fopen(sidecar_path(path).c_str(), "rb");
+  if (!f) return false;
+  bool ok = false;
+  do {
+    uint32_t magic; uint64_t s, m, n;
+    if (!rd(f, &magic) || magic != NSI_MAGIC) break;
+    if (!rd(f, &s) || !rd(f, &m) || s != size || m != mtime) break;
+    if (!rd(f, &b->total_inflated)) break;
+    if (!rd(f, &n) || n > (1u << 24)) break;
+    b->refs.resize(n);
+    bool bad = false;
+    for (auto& r : b->refs) {
+      uint32_t ln; int64_t len;
+      if (!rd(f, &ln) || ln > (1u << 16) || !rd(f, &len)) { bad = true; break; }
+      r.name.resize(ln);
+      if (ln && std::fread(&r.name[0], 1, ln, f) != ln) { bad = true; break; }
+      r.length = len;
+    }
+    if (bad) break;
+    if (!rd(f, &n)) break;
+    b->blocks.resize(n);
+    if (n && std::fread(b->blocks.data(), sizeof(BgzfBlock), n, f) != n) break;
+    if (!rd(f, &n)) break;
+    b->index.resize(n);
+    if (n && std::fread(b->index.data(), sizeof(RecordIdx), n, f) != n) break;
+    for (size_t i = 0; i < b->refs.size(); ++i)
+      b->ref_ids[b->refs[i].name] = (int)i;
+    ok = true;
+  } while (false);
+  std::fclose(f);
+  if (!ok) {
+    b->refs.clear(); b->ref_ids.clear(); b->blocks.clear(); b->index.clear();
+  }
+  return ok;
+}
+
+static void write_sidecar(const OpenBam* b, const char* path) {
+  if (!sidecar_enabled()) return;
+  uint64_t size, mtime;
+  if (!bam_stat(path, &size, &mtime)) return;
+  // pid-suffixed temp: concurrent writers (multi-host fan-out over one
+  // shared BAM) each rename their own complete file into place
+  std::string tmp = sidecar_path(path) + ".tmp." + std::to_string(getpid());
+  FILE* f = std::fopen(tmp.c_str(), "wb");
+  if (!f) return;  // read-only location: silently skip
+  bool ok = wr(f, NSI_MAGIC) && wr(f, size) && wr(f, mtime) &&
+            wr(f, b->total_inflated);
+  ok = ok && wr(f, (uint64_t)b->refs.size());
+  for (const auto& r : b->refs) {
+    ok = ok && wr(f, (uint32_t)r.name.size()) && wr(f, r.length) &&
+         (r.name.empty() ||
+          std::fwrite(r.name.data(), 1, r.name.size(), f) == r.name.size());
+  }
+  ok = ok && wr(f, (uint64_t)b->blocks.size()) &&
+       (b->blocks.empty() ||
+        std::fwrite(b->blocks.data(), sizeof(BgzfBlock), b->blocks.size(), f)
+            == b->blocks.size());
+  ok = ok && wr(f, (uint64_t)b->index.size()) &&
+       (b->index.empty() ||
+        std::fwrite(b->index.data(), sizeof(RecordIdx), b->index.size(), f)
+            == b->index.size());
+  std::fclose(f);
+  if (ok) std::rename(tmp.c_str(), sidecar_path(path).c_str());
+  else std::remove(tmp.c_str());
+}
+
 }  // namespace
 
 extern "C" {
@@ -317,6 +461,19 @@ int64_t nsp_bam_open(const char* path) {
   if (!f) return -1;
   OpenBam* b = new OpenBam();
   b->f = f;
+
+  if (try_load_sidecar(b, path)) {
+    b->ref_index_begin.assign(b->refs.size() + 1, b->index.size());
+    for (size_t i = b->index.size(); i-- > 0;)
+      b->ref_index_begin[b->index[i].ref_id] = i;
+    for (size_t i = b->refs.size(); i-- > 0;)
+      if (b->ref_index_begin[i] > b->ref_index_begin[i + 1])
+        b->ref_index_begin[i] = b->ref_index_begin[i + 1];
+    std::lock_guard<std::mutex> lk(g_mu);
+    int64_t h = g_next_handle++;
+    g_open[h] = b;
+    return h;
+  }
 
   // streaming pass: block table + rolling record-header parse
   std::vector<uint8_t> carry;     // inflated bytes not yet consumed
@@ -432,6 +589,8 @@ int64_t nsp_bam_open(const char* path) {
     if (b->ref_index_begin[i] > b->ref_index_begin[i + 1])
       b->ref_index_begin[i] = b->ref_index_begin[i + 1];
   }
+
+  write_sidecar(b, path);
 
   std::lock_guard<std::mutex> lk(g_mu);
   int64_t h = g_next_handle++;

@@ -96,9 +96,9 @@ def _phase_window(A: np.ndarray, n_iter: int = 8,
     # greedy chain init: orient each site by the accumulated vote of
     # already-oriented sites (weighted by read agreement); `votes[r]`
     # carries each read's running agreement so the sweep is O(P·R)
-    s_f = np.zeros(P, dtype=np.float64)
-    Af = A.astype(np.float64)
-    votes = np.zeros(R, dtype=np.float64)
+    s_f = np.zeros(P, dtype=np.float32)
+    Af = A.astype(np.float32)
+    votes = np.zeros(R, dtype=np.float32)
     for p in range(P):
         if not informative[p]:
             continue
@@ -162,7 +162,8 @@ def phase_contig(
             win_start += step
             continue
         pos = het_positions[idx]
-        mats = bam.read_matrices(contig, pos, min_mq=min_mq)
+        mats = bam.read_matrices(contig, pos, min_mq=min_mq,
+                                 max_reads=8192)
         if mats is None:
             win_start += step
             continue
@@ -197,7 +198,7 @@ def phase_contig(
                 block_ids[site] = comp_first[c]
             prev_sign[int(site)] = float(s[j])
         # read votes (restricted to this window's orientation)
-        scores = A.astype(np.float64) @ s.astype(np.float64)
+        scores = A.astype(np.float32) @ s.astype(np.float32)
         for rid, sc in zip(mats["read_ids"], scores):
             if sc:
                 read_scores[int(rid)] = read_scores.get(int(rid), 0.0) + sc

@@ -639,6 +639,8 @@ def stage_phase_native(
     from ..io.bam import BamFile
     from ..phase.native_phaser import phase_contig, write_phased_vcf
 
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
     hf = cfg.haplotype_feature
     with open(pileup_vcf) as f:
@@ -646,31 +648,42 @@ def stage_phase_native(
     want = set(contigs) if contigs else None
     t0 = time.monotonic()
     totals = {"sites": 0, "phased_sites": 0, "blocks": 0, "tagged_reads": 0}
-    with BamFile(bam_path) as bam:
-        for ctg in sorted(per_contig, key=C.contig_sort_key):
-            if want is not None and ctg not in want:
+
+    def one_contig(ctg):
+        rows = per_contig[ctg]
+        pos, refs, alts = [], [], []
+        for row in rows:
+            cols = row.split("\t")
+            if len(cols[3]) == 1 and len(cols[4].split(",")[0]) == 1:
+                pos.append(int(cols[1]))
+                refs.append(cols[3])
+                alts.append(cols[4].split(",")[0])
+        if not pos:
+            return None
+        result = phase_contig(
+            bam, ctg, np.asarray(pos, dtype=np.int64), refs, alts,
+            min_mq=cfg.pileup_feature.mpileup_min_mq)
+        np.savez_compressed(
+            os.path.join(out_dir, f"{ctg}.hp.npz"),
+            read_ids=np.array(list(result.read_hp), dtype=np.int64),
+            hp=np.array(list(result.read_hp.values()), dtype=np.int8))
+        with open(os.path.join(out_dir, f"{ctg}.phased.vcf"), "w") as out:
+            out.writelines(header)
+            write_phased_vcf(result, rows, out)
+        return len(pos), result
+
+    todo = [c for c in sorted(per_contig, key=C.contig_sort_key)
+            if want is None or c in want]
+    # contig-parallel like the reference's GNU parallel fan-out; the heavy
+    # parts (native region fetch, numpy matmuls) release the GIL
+    n_workers = max(min(cfg.threads or (os.cpu_count() or 4), len(todo)), 1)
+    with BamFile(bam_path) as bam, \
+            ThreadPoolExecutor(max_workers=n_workers) as ex:
+        for out_item in ex.map(one_contig, todo):
+            if out_item is None:
                 continue
-            rows = per_contig[ctg]
-            pos, refs, alts = [], [], []
-            for row in rows:
-                cols = row.split("\t")
-                if len(cols[3]) == 1 and len(cols[4].split(",")[0]) == 1:
-                    pos.append(int(cols[1]))
-                    refs.append(cols[3])
-                    alts.append(cols[4].split(",")[0])
-            if not pos:
-                continue
-            result = phase_contig(
-                bam, ctg, np.asarray(pos, dtype=np.int64), refs, alts,
-                min_mq=cfg.pileup_feature.mpileup_min_mq)
-            np.savez_compressed(
-                os.path.join(out_dir, f"{ctg}.hp.npz"),
-                read_ids=np.array(list(result.read_hp), dtype=np.int64),
-                hp=np.array(list(result.read_hp.values()), dtype=np.int8))
-            with open(os.path.join(out_dir, f"{ctg}.phased.vcf"), "w") as out:
-                out.writelines(header)
-                write_phased_vcf(result, rows, out)
-            totals["sites"] += len(pos)
+            n_sites, result = out_item
+            totals["sites"] += n_sites
             totals["phased_sites"] += int((result.hap_of_alt != 0).sum())
             totals["blocks"] += result.n_blocks
             totals["tagged_reads"] += len(result.read_hp)

@@ -254,3 +254,55 @@ def test_long_fuzz_campaign(tmp_path):
         inside = (want.positions > s) & (want.positions <= min(s + 100, length))
         np.testing.assert_array_equal(sub.positions, want.positions[inside])
         np.testing.assert_array_equal(sub.counts, want.counts[inside])
+
+
+def test_sidecar_index_roundtrip(tmp_path):
+    """Reopening a BAM loads the .nsi sidecar (skipping the full scan) and
+    serves identical region pileups; a modified BAM invalidates it."""
+    import os
+    import shutil
+    import time
+
+    rng = np.random.default_rng(17)
+    seq = "".join(rng.choice(list("ACGT"), size=2000))
+    reads = random_reads(rng, seq, 0, n_reads=150, read_len=160, with_hp=True)
+    bam = tmp_path / "s.bam"
+    write_bam(str(bam), [("chrS", 2000)], reads)
+
+    with BamFile(str(bam)) as b1:
+        p1 = b1.pileup_region("chrS", 0, 2000,
+                              np.frombuffer(seq.encode(), dtype=np.uint8))
+        refs1 = b1.references()
+    nsi = str(bam) + ".nsi"
+    assert os.path.exists(nsi), "sidecar not written"
+
+    with BamFile(str(bam)) as b2:   # this open must take the sidecar path
+        p2 = b2.pileup_region("chrS", 0, 2000,
+                              np.frombuffer(seq.encode(), dtype=np.uint8))
+        assert b2.references() == refs1
+    np.testing.assert_array_equal(p1.positions, p2.positions)
+    np.testing.assert_array_equal(p1.counts, p2.counts)
+
+    # stale sidecar (size/mtime mismatch) must be ignored, not trusted
+    bam2 = tmp_path / "s2.bam"
+    write_bam(str(bam2), [("chrS", 2000)], reads[:100])
+    shutil.copy(nsi, str(bam2) + ".nsi")
+    with BamFile(str(bam2)) as b3:
+        p3 = b3.pileup_region("chrS", 0, 2000,
+                              np.frombuffer(seq.encode(), dtype=np.uint8))
+    assert len(p3.positions) > 0
+    # rescan must have produced its own valid sidecar for bam2
+    with BamFile(str(bam2)) as b4:
+        p4 = b4.pileup_region("chrS", 0, 2000,
+                              np.frombuffer(seq.encode(), dtype=np.uint8))
+    np.testing.assert_array_equal(p3.counts, p4.counts)
+
+    # env kill-switch
+    os.environ["NSP_BAM_INDEX"] = "0"
+    try:
+        os.remove(nsi)
+        with BamFile(str(bam)) as b5:
+            b5.references()
+        assert not os.path.exists(nsi)
+    finally:
+        os.environ.pop("NSP_BAM_INDEX", None)
