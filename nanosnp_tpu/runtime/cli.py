@@ -141,6 +141,30 @@ def main(argv=None):
                    help="held-out shard fraction for per-epoch validation")
     p.add_argument("--first-stage", type=int, default=None)
 
+    p = sub.add_parser("evaluate-pileup",
+                       help="confusion/accuracy/macro-F1 of a pileup "
+                            "checkpoint on labeled arrays (reference "
+                            "PileupModel eval pass)")
+    _add_common(p)
+    p.add_argument("--data", required=True, help="dir of labeled .npz arrays")
+    p.add_argument("--model", required=True)
+    p.add_argument("--for-evaluate", action="store_true",
+                   help="variant-only filter (zy>0), reference "
+                        "dataset.py:100-106")
+    p.add_argument("--batch-size", type=int, default=2000)
+
+    p = sub.add_parser("evaluate-haplotype",
+                       help="confusion/accuracy/macro-F1 of a haplotype "
+                            "checkpoint on labeled shards (reference "
+                            "evaluate_dev.py)")
+    _add_common(p)
+    p.add_argument("--shards", required=True)
+    p.add_argument("--ref", required=True)
+    p.add_argument("--truth-vcf", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--batch-size", type=int, default=512)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "sort-vcf":
@@ -180,6 +204,10 @@ def main(argv=None):
         print(m)
         return 0
 
+    if args.cmd == "evaluate-pileup":
+        return _run_evaluate_pileup(args, cfg)
+    if args.cmd == "evaluate-haplotype":
+        return _run_evaluate_haplotype(args, cfg)
     if args.cmd == "make-train-data":
         return _run_make_train_data(args, cfg)
     if args.cmd == "train-pileup":
@@ -190,6 +218,109 @@ def main(argv=None):
         return _run_call(args, cfg)
 
     return 1
+
+
+def _run_evaluate_pileup(args, cfg) -> int:
+    """Reference PileupModel eval pass (train.py eval()/dataset
+    for_evaluate): per-class confusion + accuracy + macro-F1 on labeled
+    arrays."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .. import constants as Cn
+    from ..io.bins import list_shards
+    from ..models.pileup_model import pileup_predict
+    from ..parallel.inference import BatchedPredictor
+    from ..train import data as D
+    from ..train.metrics import ConfusionAccumulator
+    from ..train.train_pileup import load_checkpoint
+
+    params, _ = load_checkpoint(args.model)
+    mcfg = cfg.pileup_model
+
+    def fn(p, x):
+        return pileup_predict(p, x.astype(jnp.float32), mcfg)
+
+    predictor = BatchedPredictor(fn, params, batch_size=args.batch_size)
+    gt_conf = ConfusionAccumulator(mcfg.gt_num_class)
+    zy_conf = ConfusionAccumulator(mcfg.zy_num_class)
+    for path in list_shards(args.data):
+        arrays = D.load_train_arrays(path)
+        dec = D.decode_90dim_labels(arrays.label)
+        sel = (D.for_evaluate_indices(dec["zy"]) if args.for_evaluate
+               else np.arange(len(arrays.positions)))
+        if len(sel) == 0:
+            continue
+        gt_p, zy_p = predictor.run(arrays.matrix[sel].astype(np.float32))
+        gt_conf.update(gt_p.argmax(1), dec["gt"][sel])
+        zy_conf.update(zy_p.argmax(1), dec["zy"][sel])
+    report = {"n": gt_conf.total}
+    report.update(gt_conf.summary("gt_"))
+    report.update(zy_conf.summary("zy_"))
+    print(json.dumps(report))
+    print(gt_conf.format_matrix(Cn.GT21_LABELS))
+    print(zy_conf.format_matrix(["0/0", "1/1", "0/1"]))
+    with open(os.path.join(args.output, "evaluate_pileup.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return 0
+
+
+def _run_evaluate_haplotype(args, cfg) -> int:
+    """Reference HaplotypeModel/evaluate_dev.py: score a checkpoint on
+    labeled haplotype shards (confusion, accuracy, macro-F1)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .. import constants as Cn
+    from ..features.haplotype import haplotype_features
+    from ..io.bins import list_shards
+    from ..models.haplotype_model import haplotype_predict
+    from ..parallel.inference import BatchedPredictor
+    from ..train import data as D
+    from ..train import labels as L
+    from ..train.metrics import ConfusionAccumulator
+    from ..train.train_pileup import load_checkpoint
+
+    ref = FastaReference(args.ref)
+    seqs = {name: ref.contig(name) for name in ref.names}
+    with open(args.bed) as f:
+        bed = L.parse_bed(f)
+    with open(args.truth_vcf) as f:
+        truth_arrays = L.truth_arrays(
+            {n: ref.length(n) for n in ref.names}, seqs, bed, f)
+    D.set_reference_for_training(seqs)
+    params, _ = load_checkpoint(args.model)
+    hcfg = cfg.haplotype_model
+
+    def fn(p, sp, bp, mp_, hp, rp, sh, bh, mh, hh, rh):
+        xp = haplotype_features(sp, bp, mp_, hp, rp)
+        xh = haplotype_features(sh, bh, mh, hh, rh)
+        return haplotype_predict(p, xp, xh, hcfg)
+
+    predictor = BatchedPredictor(fn, params, batch_size=args.batch_size)
+    gt_conf = ConfusionAccumulator(hcfg.gt_num_class)
+    zy_conf = ConfusionAccumulator(hcfg.zy_num_class)
+    order = ("p_seq", "p_baseq", "p_mapq", "p_hap", "p_ref",
+             "h_seq", "h_baseq", "h_mapq", "h_hap", "h_ref")
+    for batch in D.haplotype_train_iterator(
+            list_shards(args.shards), truth_arrays, args.batch_size,
+            np.random.default_rng(0), epochs=1, pn_value=1.0):
+        gt_p, zy_p = predictor.run(*[batch[k] for k in order])
+        gt_conf.update(gt_p.argmax(1), batch["gt"])
+        zy_conf.update(zy_p.argmax(1), batch["zy"])
+    report = {"n": gt_conf.total}
+    report.update(gt_conf.summary("gt_"))
+    report.update(zy_conf.summary("zy_"))
+    print(json.dumps(report))
+    print(gt_conf.format_matrix(Cn.GT21_LABELS[:hcfg.gt_num_class]))
+    print(zy_conf.format_matrix(["0/0", "1/1", "0/1"]))
+    with open(os.path.join(args.output, "evaluate_haplotype.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return 0
 
 
 def _run_make_train_data(args, cfg) -> int:
