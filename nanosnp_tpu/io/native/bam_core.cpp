@@ -778,7 +778,7 @@ int64_t nsp_bam_pileup_region(
     int32_t* row_counts = counts + n_out * nsp::NUM_CH;
     nsp::aggregate_position(&singles[(size_t)x * nsp::NUM_SINGLE], indels,
                             ref_seq, ref_len, pos1, snp_min_af, indel_min_af,
-                            row_counts, &res, &alt_str);
+                            row_counts, &res, nullptr);
     char ref_base = (char)std::toupper(ref_seq[pos1 - 1]);
     bool cand = nsp::tables().nt4[(uint8_t)ref_base] < 4 && res.pass_af &&
                 res.depth >= min_coverage;
@@ -786,6 +786,9 @@ int64_t nsp_bam_pileup_region(
     depths[n_out] = (int32_t)res.depth;
     afs[n_out] = res.af;
     is_candidate[n_out] = cand ? 1 : 0;
+    if (cand)
+      nsp::build_alt_info(&singles[(size_t)x * nsp::NUM_SINGLE], indels,
+                          ref_seq, ref_len, pos1, &alt_str);
     int64_t sl = cand ? (int64_t)alt_str.size() : 0;
     alt_off[2 * n_out] = alt_used;
     alt_off[2 * n_out + 1] = alt_used + sl;

@@ -75,9 +75,15 @@ struct PosResult {
   int max_del_length = 0;
 };
 
+inline void build_alt_info(
+    const int32_t* singles, const std::vector<IndelObs>& indels,
+    const char* ref_seq, int64_t ref_len, int64_t pos1,
+    std::string* alt_info);
+
 // singles: counts in SingleIdx layout. indels: distinct observations.
 // counts out: NUM_CH int32 (ref-negation applied). alt_info (if non-null):
-// "key cnt key cnt " over sorted alt keys.
+// "key cnt key cnt " over sorted alt keys (prefer passing nullptr and
+// calling build_alt_info only for candidate rows).
 inline void aggregate_position(
     const int32_t* singles, const std::vector<IndelObs>& indels,
     const char* ref_seq, int64_t ref_len, int64_t pos1,
@@ -99,30 +105,19 @@ inline void aggregate_position(
       CH_A, CH_C, CH_G, CH_T, CH_a, CH_c, CH_g, CH_t, CH_STAR, CH_POUND};
   int64_t depth = 0;
   int32_t base_counts[4] = {0, 0, 0, 0};
-  std::map<std::string, int> alt_dict;
   for (int s = 0; s < NUM_SINGLE; ++s) {
     int32_t cnt = singles[s];
     if (!cnt) continue;
     counts[single_to_ch[s]] += cnt;
     depth += cnt;
-    if (s < 8) {
-      int b = s % 4;
-      base_counts[b] += cnt;
-      char up = "ACGT"[b];
-      if (up != chr_base) alt_dict[std::string("X") + up] += cnt;
-    }
+    if (s < 8) base_counts[s % 4] += cnt;
   }
 
   int max_ins0 = 0, max_ins1 = 0, max_del0 = 0, max_del1 = 0;
   int max_del_length = 0;
   int32_t ins_total = 0, del_total = 0;
-  std::string alt_key;
   for (const auto& ob : indels) {
     if (!ob.is_del) {
-      alt_key.assign(1, 'I');
-      alt_key += chr_base;
-      alt_key += ob.seq;
-      alt_dict[alt_key] += ob.count;
       ins_total += ob.count;
       if (ob.fwd) {
         counts[CH_I] += ob.count;
@@ -132,11 +127,6 @@ inline void aggregate_position(
         max_ins1 = std::max(max_ins1, ob.count);
       }
     } else {
-      alt_key.assign(1, 'D');
-      for (int p = 1; p <= ob.del_len; ++p) {
-        alt_key += (pos1 + p - 1 < ref_len) ? ref_seq[pos1 + p - 1] : 'N';
-      }
-      alt_dict[alt_key] += ob.count;
       del_total += ob.count;
       max_del_length = std::max(max_del_length, ob.del_len);
       if (ob.fwd) {
@@ -195,14 +185,47 @@ inline void aggregate_position(
   out->af = af;
   out->pass_af = pass_af || pass_snp || pass_indel;
   out->max_del_length = max_del_length;
-  if (alt_info) {
-    alt_info->clear();
-    char tmp[32];
-    for (auto& kv : alt_dict) {
-      *alt_info += kv.first;
-      int n = std::snprintf(tmp, sizeof(tmp), " %d ", kv.second);
-      alt_info->append(tmp, n);
+  if (alt_info)
+    build_alt_info(singles, indels, ref_seq, ref_len, pos1, alt_info);
+}
+
+// "key cnt key cnt " over sorted alt keys — only candidates ever print it,
+// so callers run the counts-only aggregate first and call this for the
+// ~2-5% of rows that pass the candidate filter.
+inline void build_alt_info(
+    const int32_t* singles, const std::vector<IndelObs>& indels,
+    const char* ref_seq, int64_t ref_len, int64_t pos1,
+    std::string* alt_info) {
+  const Tables& T = tables();
+  char raw_ref = (pos1 - 1 < ref_len && pos1 >= 1) ? ref_seq[pos1 - 1] : 'N';
+  char chr_base = (T.nt4[(uint8_t)raw_ref] < 4)
+                      ? (char)std::toupper(raw_ref) : 'A';
+  std::map<std::string, int> alt_dict;
+  for (int s = 0; s < 8; ++s) {
+    int32_t cnt = singles[s];
+    if (!cnt) continue;
+    char up = "ACGT"[s % 4];
+    if (up != chr_base) alt_dict[std::string("X") + up] += cnt;
+  }
+  std::string alt_key;
+  for (const auto& ob : indels) {
+    if (!ob.is_del) {
+      alt_key.assign(1, 'I');
+      alt_key += chr_base;
+      alt_key += ob.seq;
+    } else {
+      alt_key.assign(1, 'D');
+      for (int p = 1; p <= ob.del_len; ++p)
+        alt_key += (pos1 + p - 1 < ref_len) ? ref_seq[pos1 + p - 1] : 'N';
     }
+    alt_dict[alt_key] += ob.count;
+  }
+  alt_info->clear();
+  char tmp[32];
+  for (auto& kv : alt_dict) {
+    *alt_info += kv.first;
+    int n = std::snprintf(tmp, sizeof(tmp), " %d ", kv.second);
+    alt_info->append(tmp, n);
   }
 }
 

@@ -49,18 +49,27 @@ struct TextTables {
 };
 const TextTables TT;
 
+// singles_out/indels_out expose the per-row observations so the caller can
+// build alt_info lazily (candidates only, ~2-5% of rows).
 void parse_row(const char* bases, int64_t blen, const char* ref_seq,
                int64_t ref_len, int64_t pos1, double snp_min_af,
                double indel_min_af, int max_indel, int32_t* counts,
-               PosResult* out, std::string* alt_info) {
-  int32_t singles[nsp::NUM_SINGLE];
-  std::memset(singles, 0, sizeof(singles));
+               PosResult* out, int32_t* singles_out,
+               std::vector<IndelObs>* indels_out) {
+  int32_t* singles = singles_out;
+  std::memset(singles, 0, nsp::NUM_SINGLE * sizeof(int32_t));
   // distinct printed indel keys, preserving the reference's cov_stats
-  // granularity (case encodes strand)
-  std::map<std::string, int> indel_keys;
+  // granularity (case encodes strand). Per position there are only a
+  // handful of distinct events, so a flat vector with linear probing +
+  // one final sort beats rb-tree inserts ~2x on indel-dense data; the
+  // final sort restores std::map (lexicographic) iteration order.
+  struct KeyCount {
+    std::string key;
+    int count;
+  };
+  std::vector<KeyCount> indel_keys;
 
   int64_t i = 0;
-  std::string key;
   while (i < blen) {
     char b = bases[i];
     if (b == '+' || b == '-') {
@@ -71,9 +80,23 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
         ++i;
       }
       if (adv <= max_indel) {
-        key.assign(1, b);
-        key.append(bases + i, (size_t)adv);
-        ++indel_keys[key];
+        const char* kp = bases + i;
+        bool found = false;
+        for (auto& kc : indel_keys) {
+          if ((int64_t)kc.key.size() == adv + 1 && kc.key[0] == b &&
+              std::memcmp(kc.key.data() + 1, kp, (size_t)adv) == 0) {
+            ++kc.count;
+            found = true;
+            break;
+          }
+        }
+        if (!found) {
+          indel_keys.push_back(KeyCount{std::string(), 1});
+          auto& k = indel_keys.back().key;
+          k.reserve((size_t)adv + 1);
+          k.push_back(b);
+          k.append(kp, (size_t)adv);
+        }
       }
       i += adv - 1;
     } else if (TT.normal[(uint8_t)b]) {
@@ -83,15 +106,18 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
     }
     ++i;
   }
+  std::sort(indel_keys.begin(), indel_keys.end(),
+            [](const KeyCount& a, const KeyCount& b) { return a.key < b.key; });
 
-  std::vector<IndelObs> indels;
+  std::vector<IndelObs>& indels = *indels_out;
+  indels.clear();
   indels.reserve(indel_keys.size());
   for (auto& kv : indel_keys) {
-    const std::string& k = kv.first;
+    const std::string& k = kv.key;
     IndelObs ob;
     ob.is_del = (k[0] == '-');
     ob.fwd = nsp::tables().fwd[(uint8_t)k[1]];
-    ob.count = kv.second;
+    ob.count = kv.count;
     if (ob.is_del) {
       ob.del_len = (int)k.size() - 1;
     } else {
@@ -103,7 +129,7 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
   }
 
   nsp::aggregate_position(singles, indels, ref_seq, ref_len, pos1,
-                          snp_min_af, indel_min_af, counts, out, alt_info);
+                          snp_min_af, indel_min_af, counts, out, nullptr);
 }
 
 }  // namespace
@@ -182,8 +208,10 @@ int64_t nsp_parse_mpileup(
 
     int32_t* row_counts = counts + r * nsp::NUM_CH;
     PosResult res;
+    int32_t singles[nsp::NUM_SINGLE];
+    std::vector<IndelObs> indels;
     parse_row(bases, bend - bases, ref_seq, ref_len, pos1, snp_min_af,
-              indel_min_af, max_indel, row_counts, &res, &alt_strs[r]);
+              indel_min_af, max_indel, row_counts, &res, singles, &indels);
 
     char ref_base = (pos1 - 1 < ref_len)
                         ? (char)std::toupper(ref_seq[pos1 - 1]) : 'N';
@@ -202,7 +230,11 @@ int64_t nsp_parse_mpileup(
     depths[r] = (int32_t)res.depth;
     afs[r] = res.af;
     is_candidate[r] = cand ? 1 : 0;
-    if (!cand) alt_strs[r].clear();
+    if (cand)
+      nsp::build_alt_info(singles, indels, ref_seq, ref_len, pos1,
+                          &alt_strs[r]);
+    else
+      alt_strs[r].clear();
   }
 
   int64_t w = 0;
