@@ -38,8 +38,11 @@ class NativeBamExtractor:
         # bam_dir_or_paths: directory with {contig}.bam, or {contig: path}
         # hp_overrides: {contig: {read_id: 1|2}} from the native phaser —
         # replaces BAM HP tags so no tagged-BAM round trip is needed
+        import threading
+
         self.max_coverage = max_coverage
         self.hp_overrides = hp_overrides or {}
+        self._open_lock = threading.Lock()
         if isinstance(bam_dir_or_paths, dict):
             self.paths = dict(bam_dir_or_paths)
         else:
@@ -55,9 +58,10 @@ class NativeBamExtractor:
     def _bam(self, contig: str) -> Optional[BamFile]:
         if contig not in self.paths:
             return None
-        if contig not in self._open:
-            self._open[contig] = BamFile(self.paths[contig])
-        return self._open[contig]
+        with self._open_lock:   # callers run chunk-parallel (stages.py s4)
+            if contig not in self._open:
+                self._open[contig] = BamFile(self.paths[contig])
+            return self._open[contig]
 
     def close(self):
         for b in self._open.values():

@@ -405,19 +405,31 @@ def stage_haplotype_features(
         # similar depth concatenate, giving s5 large batches instead of
         # one <=100-site file per chunk (reference predict_dev.py:33
         # batches 1000 across a whole bin file; we batch 8k+ across the
-        # contig)
+        # contig). Chunks extract in parallel (the reference fans a
+        # multiprocessing.Pool, make_predict_bins.py:157-164; here threads
+        # suffice — the native region fetch and numpy slicing release the
+        # GIL); pools keep chunk order via the ordered map().
+        from concurrent.futures import ThreadPoolExecutor
+
         pools: Dict[tuple, List[bins.HaplotypeShard]] = {}
-        for chunk in chunk_groups(groups):
+        chunks = chunk_groups(groups)
+        n_workers = max(min(cfg.threads or (os.cpu_count() or 4),
+                            len(chunks)), 1)
+
+        def extract_one(chunk):
             mats = extractor(ctg, chunk, hf.pileup_flanking_size)
             if mats is None:
-                continue
-            shard = _pack_haplotype_shard(ctg, chunk, mats, hf)
-            if shard is None:
-                continue
-            key = (_bucket(shard.pileup["sequences"].shape[1]),
-                   _bucket(shard.haplotype["sequences"].shape[1]))
-            pools.setdefault(key, []).append(shard)
-            n_groups += len(shard)
+                return None
+            return _pack_haplotype_shard(ctg, chunk, mats, hf)
+
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            for shard in ex.map(extract_one, chunks):
+                if shard is None:
+                    continue
+                key = (_bucket(shard.pileup["sequences"].shape[1]),
+                       _bucket(shard.haplotype["sequences"].shape[1]))
+                pools.setdefault(key, []).append(shard)
+                n_groups += len(shard)
         for (dpb, dhb), shards in pools.items():
             merged = _concat_haplotype_shards(ctg, shards, dpb, dhb)
             bins.save_haplotype_shard(
