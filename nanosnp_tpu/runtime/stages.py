@@ -326,9 +326,11 @@ def stage_pileup_predict(
     t0 = time.monotonic()
     paths = bins.list_shards(shard_dir)
 
-    # shard-level pipeline: run shard i+1's device inference on a worker
-    # thread while the main thread decodes shard i (host decode and device
-    # compute overlap; one shard in flight bounds memory)
+    # two-level pipeline: one worker keeps the device busy shard-ahead;
+    # decode (the host-side cap, ~380k sites/s/thread) fans over a thread
+    # pool into per-shard buffers (numpy string kernels release the GIL);
+    # the main thread writes buffers in shard order
+    import io
     from concurrent.futures import ThreadPoolExecutor
 
     def infer(path):
@@ -338,25 +340,39 @@ def stage_pileup_predict(
         gt, zy = predictor.run(shard.matrix.astype(np.float32))
         return shard, gt, zy
 
+    def decode(res):
+        if res is None:
+            return None
+        shard, gt, zy = res
+        buf = io.StringIO()
+        ref_bases = [r.decode()[16] for r in shard.ref_seqs]
+        decode_pileup_calls_fast(
+            shard.contig, shard.positions, ref_bases, gt, zy,
+            shard.matrix[:, mcfg.seq_len // 2, :], buf,
+            batch_size=1000, bug_compat=cfg.inference.bug_compat)
+        return len(shard), buf.getvalue()
+
+    n_dec = max(min((cfg.threads or (os.cpu_count() or 4)) - 1, 4), 1)
     with open(output_vcf, "w") as out, \
-            ThreadPoolExecutor(max_workers=1) as ex:
+            ThreadPoolExecutor(max_workers=1) as ex_dev, \
+            ThreadPoolExecutor(max_workers=n_dec) as ex_dec:
         write_vcf_header(ref.fasta_path + ".fai", out)
-        pending = []
+        infer_q: List = []
+        decode_q: List = []
         idx = 0
-        while pending or idx < len(paths):
-            while idx < len(paths) and len(pending) < 2:
-                pending.append(ex.submit(infer, paths[idx]))
+        while decode_q or infer_q or idx < len(paths):
+            while idx < len(paths) and len(infer_q) < 2:
+                infer_q.append(ex_dev.submit(infer, paths[idx]))
                 idx += 1
-            res = pending.pop(0).result()
-            if res is None:
+            while infer_q and (infer_q[0].done() or len(decode_q) == 0) \
+                    and len(decode_q) < n_dec + 2:
+                decode_q.append(ex_dec.submit(decode, infer_q.pop(0).result()))
+            done = decode_q.pop(0).result()
+            if done is None:
                 continue
-            shard, gt, zy = res
-            ref_bases = [r.decode()[16] for r in shard.ref_seqs]
-            decode_pileup_calls_fast(
-                shard.contig, shard.positions, ref_bases, gt, zy,
-                shard.matrix[:, mcfg.seq_len // 2, :], out,
-                batch_size=1000, bug_compat=cfg.inference.bug_compat)
-            n_sites += len(shard)
+            n, text = done
+            out.write(text)
+            n_sites += n
     dt = time.monotonic() - t0
     return {"sites": n_sites, "sites_per_s": round(n_sites / dt, 1) if dt else 0}
 
