@@ -73,6 +73,11 @@ class HaplotypeFeatureConfig:
     max_pileup_depth: Optional[int] = None      # prod: 3 * coverage
     max_haplotype_depth: Optional[int] = None   # prod: 3 * coverage
     phase_het_quality: float = C.PHASE_HET_QUAL
+    # native phaser (--phaser native): genomic window / overlap; the
+    # overlap should exceed a typical read length so boundary-spanning
+    # reads link blocks across windows
+    phaser_window_bp: int = 50_000
+    phaser_overlap_bp: int = 20_000
 
 
 @dataclass

@@ -340,17 +340,18 @@ def stage_pileup_predict(
         gt, zy = predictor.run(shard.matrix.astype(np.float32))
         return shard, gt, zy
 
-    def decode(res):
-        if res is None:
-            return None
+    DECODE_SPLIT = 100_000   # rows per decode task (contig shards are big)
+
+    def decode(res, lo, hi):
         shard, gt, zy = res
         buf = io.StringIO()
-        ref_bases = [r.decode()[16] for r in shard.ref_seqs]
+        ref_bases = [r.decode()[16] for r in shard.ref_seqs[lo:hi]]
         decode_pileup_calls_fast(
-            shard.contig, shard.positions, ref_bases, gt, zy,
-            shard.matrix[:, mcfg.seq_len // 2, :], buf,
+            shard.contig, shard.positions[lo:hi], ref_bases,
+            gt[lo:hi], zy[lo:hi],
+            shard.matrix[lo:hi, mcfg.seq_len // 2, :], buf,
             batch_size=1000, bug_compat=cfg.inference.bug_compat)
-        return len(shard), buf.getvalue()
+        return hi - lo, buf.getvalue()
 
     n_dec = max(min((cfg.threads or (os.cpu_count() or 4)) - 1, 4), 1)
     with open(output_vcf, "w") as out, \
@@ -365,12 +366,17 @@ def stage_pileup_predict(
                 infer_q.append(ex_dev.submit(infer, paths[idx]))
                 idx += 1
             while infer_q and (infer_q[0].done() or len(decode_q) == 0) \
-                    and len(decode_q) < n_dec + 2:
-                decode_q.append(ex_dec.submit(decode, infer_q.pop(0).result()))
-            done = decode_q.pop(0).result()
-            if done is None:
+                    and len(decode_q) < 2 * n_dec + 2:
+                res = infer_q.pop(0).result()
+                if res is None:
+                    continue
+                n_rows = len(res[0])
+                for lo in range(0, n_rows, DECODE_SPLIT):
+                    decode_q.append(ex_dec.submit(
+                        decode, res, lo, min(lo + DECODE_SPLIT, n_rows)))
+            if not decode_q:
                 continue
-            n, text = done
+            n, text = decode_q.pop(0).result()
             out.write(text)
             n_sites += n
     dt = time.monotonic() - t0
@@ -690,6 +696,7 @@ def stage_phase_native(
             return None
         result = phase_contig(
             bam, ctg, np.asarray(pos, dtype=np.int64), refs, alts,
+            window_bp=hf.phaser_window_bp, overlap_bp=hf.phaser_overlap_bp,
             min_mq=cfg.pileup_feature.mpileup_min_mq)
         np.savez_compressed(
             os.path.join(out_dir, f"{ctg}.hp.npz"),
