@@ -43,6 +43,10 @@ def _bind(lib):
         ctypes.c_int, ctypes.c_int, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p]
+    lib.nsp_bam_write_tagged.restype = ctypes.c_int64
+    lib.nsp_bam_write_tagged.argtypes = [
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_char_p]
     lib._bam_bound = True
     return lib
 
@@ -190,3 +194,21 @@ class BamFile:
             "first_col": first_col[:r][order],
             "read_ids": read_ids[:r][order],
         }
+
+    def write_tagged(self, out_path: str, read_hp: Dict[int, int],
+                     contig: Optional[str] = None) -> int:
+        """Write a haplotagged copy of this BAM (whatshap-haplotag's
+        artifact): reads in `read_hp` (stable read id -> 1|2) get an HP:c
+        aux (existing HP stripped), everything else passes through
+        byte-identical; header preserved. `contig` limits the body to one
+        reference. Returns records written."""
+        ids = np.fromiter(read_hp.keys(), dtype=np.int64,
+                          count=len(read_hp))
+        hps = np.fromiter(read_hp.values(), dtype=np.int32,
+                          count=len(read_hp))
+        ret = self.lib.nsp_bam_write_tagged(
+            self.handle, contig.encode() if contig else None,
+            _ptr(ids), _ptr(hps), len(ids), out_path.encode())
+        if ret < 0:
+            raise NativeUnavailable(f"bam write_tagged failed: {ret}")
+        return int(ret)

@@ -452,6 +452,113 @@ static void write_sidecar(const OpenBam* b, const char* path) {
   else std::remove(tmp.c_str());
 }
 
+
+// ---------------------------------------------------------------------------
+// BGZF/BAM writer: emit a haplotagged copy of the BAM (whatshap-haplotag's
+// user-visible artifact) without any external tool. Records stream through
+// in index order; reads present in the (read_id -> HP) map get an HP:c aux
+// (existing HP stripped first), everything else passes through unchanged.
+// ---------------------------------------------------------------------------
+
+struct BgzfWriter {
+  FILE* f = nullptr;
+  std::vector<uint8_t> pend;   // uncompressed bytes awaiting a block
+
+  explicit BgzfWriter(FILE* f_) : f(f_) { pend.reserve(1 << 16); }
+
+  bool flush_block() {
+    if (pend.empty()) return true;
+    // deflate raw
+    std::vector<uint8_t> comp(pend.size() + (pend.size() >> 2) + 64);
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, 6, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+      return false;
+    zs.next_in = pend.data();
+    zs.avail_in = (uInt)pend.size();
+    zs.next_out = comp.data();
+    zs.avail_out = (uInt)comp.size();
+    int ret = deflate(&zs, Z_FINISH);
+    deflateEnd(&zs);
+    if (ret != Z_STREAM_END) return false;
+    uint32_t clen = (uint32_t)zs.total_out;
+    uint32_t crc = crc32(0, pend.data(), (uInt)pend.size());
+    uint32_t isize = (uint32_t)pend.size();
+    uint32_t bsize = clen + 25;          // total block length - 1
+    uint8_t hdr[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+                       6, 0, 'B', 'C', 2, 0,
+                       (uint8_t)(bsize & 0xff), (uint8_t)(bsize >> 8)};
+    bool ok = std::fwrite(hdr, 1, 18, f) == 18 &&
+              std::fwrite(comp.data(), 1, clen, f) == clen &&
+              std::fwrite(&crc, 4, 1, f) == 1 &&
+              std::fwrite(&isize, 4, 1, f) == 1;
+    pend.clear();
+    return ok;
+  }
+
+  bool write(const uint8_t* data, size_t len) {
+    while (len) {
+      size_t room = (size_t)(60 << 10) - pend.size();
+      size_t take = len < room ? len : room;
+      pend.insert(pend.end(), data, data + take);
+      data += take;
+      len -= take;
+      if (pend.size() >= (size_t)(60 << 10) && !flush_block()) return false;
+    }
+    return true;
+  }
+
+  bool finish() {
+    if (!flush_block()) return false;
+    static const uint8_t EOF_BLK[28] = {
+        0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+        0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+        0, 0, 0, 0, 0, 0, 0, 0};
+    return std::fwrite(EOF_BLK, 1, 28, f) == 28;
+  }
+};
+
+// strip every "HP" aux item; returns the new aux bytes
+std::vector<uint8_t> strip_hp_aux(const uint8_t* aux, size_t len) {
+  std::vector<uint8_t> out;
+  out.reserve(len);
+  const uint8_t* p = aux;
+  const uint8_t* end = aux + len;
+  while (p + 3 <= end) {
+    const uint8_t* item = p;
+    char type = (char)p[2];
+    p += 3;
+    size_t sz = 0;
+    switch (type) {
+      case 'A': case 'c': case 'C': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t* q = p;
+        while (q < end && *q) ++q;
+        sz = (size_t)(q - p) + 1;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > end) { p = end; sz = 0; break; }
+        char sub = (char)p[0];
+        uint32_t cnt = *(const uint32_t*)(p + 1);
+        size_t esz = (sub == 'c' || sub == 'C') ? 1
+                     : (sub == 's' || sub == 'S') ? 2 : 4;
+        sz = 5 + (size_t)cnt * esz;
+        break;
+      }
+      default: p = end; sz = 0; break;
+    }
+    if (p + sz > end) break;
+    p += sz;
+    if (!(item[0] == 'H' && item[1] == 'P'))
+      out.insert(out.end(), item, p);
+  }
+  return out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -907,6 +1014,110 @@ int64_t nsp_bam_read_matrices(
   }
   if (n_reads > max_reads) return -(10 + n_reads);
   return n_reads;
+}
+
+
+// Write a haplotagged copy of the BAM. read_ids/hps: n pairs of (stable
+// record id = inflated-stream offset, HP value 1/2). ref_name limits output
+// to one contig's records (header always included); null = whole file.
+// Returns number of records written, negative on error.
+int64_t nsp_bam_write_tagged(
+    int64_t handle, const char* ref_name,
+    const int64_t* read_ids, const int32_t* hps, int64_t n,
+    const char* out_path) {
+  OpenBam* b;
+  {
+    std::lock_guard<std::mutex> lk(g_mu);
+    auto it = g_open.find(handle);
+    if (it == g_open.end()) return -1;
+    b = it->second;
+  }
+  int want_ref = -1;
+  if (ref_name && ref_name[0]) {
+    auto rid = b->ref_ids.find(ref_name);
+    if (rid == b->ref_ids.end()) return -2;
+    want_ref = rid->second;
+  }
+  std::unordered_map<uint64_t, int32_t> hp_of;
+  hp_of.reserve((size_t)n * 2);
+  for (int64_t i = 0; i < n; ++i)
+    hp_of[(uint64_t)read_ids[i]] = hps[i];
+
+  FILE* out = std::fopen(out_path, "wb");
+  if (!out) return -3;
+  BgzfWriter w(out);
+  int64_t written = 0;
+  bool ok = true;
+
+  // header = inflated bytes before the first indexed record (magic + text +
+  // ref list, byte-identical to the source)
+  uint64_t hdr_end = b->total_inflated;
+  for (const auto& ri : b->index)
+    hdr_end = std::min<uint64_t>(hdr_end, ri.off);
+  {
+    std::vector<uint8_t> hdr;
+    uint64_t base = 0;
+    if (!fetch_inflated(b, 0, hdr_end, hdr, &base) || base != 0 ||
+        hdr.size() < hdr_end) {
+      std::fclose(out);
+      return -4;
+    }
+    ok = w.write(hdr.data(), (size_t)hdr_end);
+  }
+
+  // stream records in index order, windowed fetches bounded by ~8 MB
+  std::vector<uint8_t> rec;
+  size_t i0 = 0;
+  while (ok && i0 < b->index.size()) {
+    if (want_ref >= 0 && b->index[i0].ref_id != want_ref) { ++i0; continue; }
+    uint64_t lo = b->index[i0].off;
+    size_t i1 = i0;
+    uint64_t hi = lo;
+    while (i1 < b->index.size() &&
+           (want_ref < 0 || b->index[i1].ref_id == want_ref) &&
+           b->index[i1].off + b->index[i1].len - lo <= (8u << 20)) {
+      hi = std::max<uint64_t>(hi, b->index[i1].off + b->index[i1].len);
+      ++i1;
+    }
+    if (i1 == i0) i1 = i0 + 1, hi = lo + b->index[i0].len;
+    std::vector<uint8_t> window;
+    uint64_t base = 0;
+    if (!fetch_inflated(b, lo, hi, window, &base)) { ok = false; break; }
+    for (size_t i = i0; i < i1 && ok; ++i) {
+      const RecordIdx& ri = b->index[i];
+      if (want_ref >= 0 && ri.ref_id != want_ref) continue;
+      uint64_t rel = ri.off - base;
+      if (rel + ri.len > window.size()) continue;
+      const uint8_t* p = window.data() + rel;
+      auto it = hp_of.find(ri.off);
+      if (it == hp_of.end()) {
+        ok = w.write(p, ri.len);
+      } else {
+        BamRecord r;
+        uint32_t rec_len;
+        if (!parse_record(p, ri.len, &r, &rec_len)) continue;
+        std::vector<uint8_t> aux = strip_hp_aux(r.aux, r.aux_len);
+        size_t fixed = (size_t)(r.aux - (p + 4));   // bytes before aux
+        rec.clear();
+        rec.resize(4);
+        rec.insert(rec.end(), p + 4, p + 4 + fixed);
+        rec.insert(rec.end(), aux.begin(), aux.end());
+        rec.push_back('H');
+        rec.push_back('P');
+        rec.push_back('c');
+        rec.push_back((uint8_t)(int8_t)it->second);
+        uint32_t new_size = (uint32_t)(rec.size() - 4);
+        std::memcpy(rec.data(), &new_size, 4);
+        ok = w.write(rec.data(), rec.size());
+      }
+      if (ok) ++written;
+    }
+    i0 = i1;
+  }
+  ok = ok && w.finish();
+  std::fclose(out);
+  if (!ok) { std::remove(out_path); return -5; }
+  return written;
 }
 
 }  // extern "C"

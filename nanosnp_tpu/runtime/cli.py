@@ -69,6 +69,11 @@ def main(argv=None):
                    help="s3 engine: whatshap (reference parity, external), "
                         "native (built-in read-backed phaser, no external "
                         "deps), auto = whatshap if installed else native")
+    p.add_argument("--emit-tagged-bams", action="store_true",
+                   help="with --phaser native: also write haplotag_out/"
+                        "{contig}.bam copies (whatshap-haplotag's artifact) "
+                        "for external tools; the pipeline itself does not "
+                        "need them")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address host:port "
                         "(or env NSP_COORDINATOR)")
@@ -607,7 +612,8 @@ def _run_call(args, cfg) -> int:
             if mode == "native":
                 m = stages.stage_phase_native(
                     cfg, ref, pileup_vcf, args.bam, phase_native_dir,
-                    contigs)
+                    contigs,
+                    emit_tagged_bams=getattr(args, "emit_tagged_bams", False))
                 tag_dir_holder["paths"] = {c: args.bam for c in contigs}
                 tag_dir_holder["hp_overrides"] = \
                     stages.load_native_phase_overrides(phase_native_dir)

@@ -660,6 +660,7 @@ def stage_phase_native(
     bam_path: str,
     out_dir: str,
     contigs: Optional[Sequence[str]] = None,
+    emit_tagged_bams: bool = False,
 ) -> Dict:
     """s3 without whatshap: native read-backed phasing.
 
@@ -705,6 +706,14 @@ def stage_phase_native(
         with open(os.path.join(out_dir, f"{ctg}.phased.vcf"), "w") as out:
             out.writelines(header)
             write_phased_vcf(result, rows, out)
+        if emit_tagged_bams:
+            # whatshap-haplotag's user-visible artifact, via the native
+            # BGZF/BAM writer (the pipeline itself injects the partition
+            # in-memory; these files serve external tooling / IGV)
+            tag_dir = os.path.join(out_dir, "haplotag_out")
+            os.makedirs(tag_dir, exist_ok=True)
+            bam.write_tagged(os.path.join(tag_dir, f"{ctg}.bam"),
+                             result.read_hp, contig=ctg)
         return len(pos), result
 
     todo = [c for c in sorted(per_contig, key=C.contig_sort_key)

@@ -306,3 +306,54 @@ def test_sidecar_index_roundtrip(tmp_path):
         assert not os.path.exists(nsi)
     finally:
         os.environ.pop("NSP_BAM_INDEX", None)
+
+
+def test_write_tagged_roundtrip(tmp_path):
+    """The native BGZF/BAM writer: tagged copy is a valid BAM our own
+    engine re-reads; tagged reads carry the assigned HP, others pass
+    through with their original tags; record content is preserved."""
+    rng = np.random.default_rng(23)
+    seq = "".join(rng.choice(list("ACGT"), size=3000))
+    reads = random_reads(rng, seq, 0, n_reads=200, read_len=150,
+                         with_hp=True)
+    bam = tmp_path / "in.bam"
+    write_bam(str(bam), [("chrT", 3000)], reads)
+    pos = np.arange(50, 2950, 10, dtype=np.int64)
+
+    with BamFile(str(bam)) as b:
+        mats = b.read_matrices("chrT", pos, min_mq=0)
+        rid = mats["read_ids"]
+        # retag: every read flips to 3 - old (1<->2), untagged (3) -> 1
+        new_hp = {int(r): (3 - int(h) if h in (1, 2) else 1)
+                  for r, h in zip(rid, mats["hap_tags"])}
+        # leave a few reads out of the map to exercise passthrough
+        passthrough = {int(r): int(h) for r, h in
+                       list(zip(rid, mats["hap_tags"]))[:5]}
+        for r in list(new_hp)[:5]:
+            del new_hp[r]
+        out = tmp_path / "tagged.bam"
+        n = b.write_tagged(str(out), new_hp)
+    assert n == len(reads)
+
+    with BamFile(str(out)) as b2:
+        mats2 = b2.read_matrices("chrT", pos, min_mq=0)
+        refs2 = b2.references()
+    assert refs2 == [("chrT", 3000)]
+    # base/qual matrices identical (record bodies untouched)
+    np.testing.assert_array_equal(mats2["sequences"], mats["sequences"])
+    np.testing.assert_array_equal(mats2["baseq"], mats["baseq"])
+    # row ids differ (offsets moved) but row ORDER is deterministic:
+    # compare tag per row position
+    old_by_row = mats["read_ids"]
+    for row in range(len(old_by_row)):
+        old_id = int(old_by_row[row])
+        want = new_hp.get(old_id, passthrough.get(old_id))
+        assert int(mats2["hap_tags"][row]) == want, row
+
+    # contig-filtered write also round-trips
+    out2 = tmp_path / "tagged_chrT.bam"
+    with BamFile(str(bam)) as b3:
+        n2 = b3.write_tagged(str(out2), new_hp, contig="chrT")
+    assert n2 == len(reads)
+    with BamFile(str(out2)) as b4:
+        assert b4.read_matrices("chrT", pos, min_mq=0) is not None
