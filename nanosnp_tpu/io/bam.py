@@ -47,6 +47,9 @@ def _bind(lib):
     lib.nsp_bam_write_tagged.argtypes = [
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_char_p]
+    lib.nsp_bam_split_by_tag.restype = ctypes.c_int64
+    lib.nsp_bam_split_by_tag.argtypes = [
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
     lib._bam_bound = True
     return lib
 
@@ -211,4 +214,16 @@ class BamFile:
             _ptr(ids), _ptr(hps), len(ids), out_path.encode())
         if ret < 0:
             raise NativeUnavailable(f"bam write_tagged failed: {ret}")
+        return int(ret)
+
+    def split_by_tag(self, h1_path: str, h2_path: str,
+                     contig: Optional[str] = None) -> int:
+        """Split by HP aux into h1/h2 BAMs, dropping untagged reads
+        (reference scripts/split_bam_by_tag.py semantics). Returns total
+        records written."""
+        ret = self.lib.nsp_bam_split_by_tag(
+            self.handle, contig.encode() if contig else None,
+            h1_path.encode(), h2_path.encode())
+        if ret < 0:
+            raise NativeUnavailable(f"bam split_by_tag failed: {ret}")
         return int(ret)

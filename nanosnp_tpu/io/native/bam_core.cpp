@@ -1120,4 +1120,86 @@ int64_t nsp_bam_write_tagged(
   return written;
 }
 
+
+// Split a haplotagged BAM into h1/h2 copies by the HP aux (reference
+// scripts/split_bam_by_tag.py: HP==1 -> h1, HP==2 -> h2, untagged reads
+// dropped). ref_name limits to one contig; null = whole file. Returns
+// records written (h1 + h2), negative on error.
+int64_t nsp_bam_split_by_tag(
+    int64_t handle, const char* ref_name,
+    const char* h1_path, const char* h2_path) {
+  OpenBam* b;
+  {
+    std::lock_guard<std::mutex> lk(g_mu);
+    auto it = g_open.find(handle);
+    if (it == g_open.end()) return -1;
+    b = it->second;
+  }
+  int want_ref = -1;
+  if (ref_name && ref_name[0]) {
+    auto rid = b->ref_ids.find(ref_name);
+    if (rid == b->ref_ids.end()) return -2;
+    want_ref = rid->second;
+  }
+  FILE* f1 = std::fopen(h1_path, "wb");
+  if (!f1) return -3;
+  FILE* f2 = std::fopen(h2_path, "wb");
+  if (!f2) { std::fclose(f1); return -3; }
+  BgzfWriter w1(f1), w2(f2);
+  bool ok = true;
+  int64_t written = 0;
+
+  uint64_t hdr_end = b->total_inflated;
+  for (const auto& ri : b->index)
+    hdr_end = std::min<uint64_t>(hdr_end, ri.off);
+  {
+    std::vector<uint8_t> hdr;
+    uint64_t base = 0;
+    ok = fetch_inflated(b, 0, hdr_end, hdr, &base) && base == 0 &&
+         hdr.size() >= hdr_end &&
+         w1.write(hdr.data(), (size_t)hdr_end) &&
+         w2.write(hdr.data(), (size_t)hdr_end);
+  }
+
+  size_t i0 = 0;
+  while (ok && i0 < b->index.size()) {
+    if (want_ref >= 0 && b->index[i0].ref_id != want_ref) { ++i0; continue; }
+    uint64_t lo = b->index[i0].off;
+    size_t i1 = i0;
+    uint64_t hi = lo;
+    while (i1 < b->index.size() &&
+           (want_ref < 0 || b->index[i1].ref_id == want_ref) &&
+           b->index[i1].off + b->index[i1].len - lo <= (8u << 20)) {
+      hi = std::max<uint64_t>(hi, b->index[i1].off + b->index[i1].len);
+      ++i1;
+    }
+    if (i1 == i0) i1 = i0 + 1, hi = lo + b->index[i0].len;
+    std::vector<uint8_t> window;
+    uint64_t base = 0;
+    if (!fetch_inflated(b, lo, hi, window, &base)) { ok = false; break; }
+    for (size_t i = i0; i < i1 && ok; ++i) {
+      const RecordIdx& ri = b->index[i];
+      if (want_ref >= 0 && ri.ref_id != want_ref) continue;
+      uint64_t rel = ri.off - base;
+      if (rel + ri.len > window.size()) continue;
+      const uint8_t* p = window.data() + rel;
+      BamRecord r;
+      uint32_t rec_len;
+      if (!parse_record(p, ri.len, &r, &rec_len)) continue;
+      int64_t hp;
+      if (!aux_int(r, "HP", &hp)) continue;   // untagged: dropped
+      if (hp == 1) ok = w1.write(p, ri.len);
+      else if (hp == 2) ok = w2.write(p, ri.len);
+      else continue;
+      if (ok) ++written;
+    }
+    i0 = i1;
+  }
+  ok = ok && w1.finish() && w2.finish();
+  std::fclose(f1);
+  std::fclose(f2);
+  if (!ok) { std::remove(h1_path); std::remove(h2_path); return -5; }
+  return written;
+}
+
 }  // extern "C"

@@ -104,6 +104,19 @@ def main(argv=None):
     p.add_argument("--input", "-i", required=True)
     p.add_argument("--output", "-o", required=True)
 
+    p = sub.add_parser(
+        "split-bam",
+        help="native BAM splitting (no samtools): per contig and/or by HP "
+             "tag into h1/h2 (reference DNA_SplitSam / split_bam_by_tag "
+             "roles). Outputs are unindexed BAMs.")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--output", "-o", required=True, help="output directory")
+    p.add_argument("--contigs", nargs="*", default=None,
+                   help="write {contig}.bam per contig (default: all)")
+    p.add_argument("--by-tag", action="store_true",
+                   help="split into h1.bam/h2.bam by HP aux instead "
+                        "(untagged reads dropped)")
+
     p = sub.add_parser("make-train-data",
                        help="labeled pileup training arrays from BAM + truth")
     _add_common(p)
@@ -179,6 +192,25 @@ def main(argv=None):
             lines = sort_vcf_lines(f)
         with open(args.output, "w") as f:
             f.writelines(lines)
+        return 0
+
+    if args.cmd == "split-bam":
+        from ..io.bam import BamFile
+
+        os.makedirs(args.output, exist_ok=True)
+        with BamFile(args.bam) as bam:
+            if args.by_tag:
+                n = bam.split_by_tag(os.path.join(args.output, "h1.bam"),
+                                     os.path.join(args.output, "h2.bam"))
+                print({"records": n})
+            else:
+                contigs = args.contigs or [c for c, _ in bam.references()]
+                total = 0
+                for ctg in contigs:
+                    total += bam.write_tagged(
+                        os.path.join(args.output, f"{ctg}.bam"), {},
+                        contig=ctg)
+                print({"records": total, "contigs": len(contigs)})
         return 0
 
     cfg = load_config(args.config)

@@ -357,3 +357,30 @@ def test_write_tagged_roundtrip(tmp_path):
     assert n2 == len(reads)
     with BamFile(str(out2)) as b4:
         assert b4.read_matrices("chrT", pos, min_mq=0) is not None
+
+
+def test_split_by_tag(tmp_path):
+    """HP-tag split (reference split_bam_by_tag.py): HP==1 -> h1,
+    HP==2 -> h2, untagged dropped; both outputs re-readable."""
+    rng = np.random.default_rng(29)
+    seq = "".join(rng.choice(list("ACGT"), size=2500))
+    reads = random_reads(rng, seq, 0, n_reads=120, read_len=140,
+                         with_hp=True)
+    bam = tmp_path / "in.bam"
+    write_bam(str(bam), [("chrU", 2500)], reads)
+    n1_want = sum(1 for r in reads if r.hp == 1)
+    n2_want = sum(1 for r in reads if r.hp == 2)
+
+    with BamFile(str(bam)) as b:
+        n = b.split_by_tag(str(tmp_path / "h1.bam"), str(tmp_path / "h2.bam"))
+    assert n == n1_want + n2_want
+
+    pos = np.arange(100, 2400, 20, dtype=np.int64)
+    for name, want_hp, want_n in (("h1.bam", 1, n1_want),
+                                  ("h2.bam", 2, n2_want)):
+        with BamFile(str(tmp_path / name)) as b:
+            m = b.read_matrices("chrU", pos, min_mq=0)
+        assert m is not None
+        assert (m["hap_tags"] == want_hp).all()
+        # a read can miss every sampled column (edge/N bases): allow slack
+        assert want_n - 2 <= len(m["hap_tags"]) <= want_n
