@@ -426,9 +426,11 @@ static void write_sidecar(const OpenBam* b, const char* path) {
   if (!sidecar_enabled()) return;
   uint64_t size, mtime;
   if (!bam_stat(path, &size, &mtime)) return;
-  // pid-suffixed temp: concurrent writers (multi-host fan-out over one
-  // shared BAM) each rename their own complete file into place
-  std::string tmp = sidecar_path(path) + ".tmp." + std::to_string(getpid());
+  // pid+address-suffixed temp: concurrent writers (multi-host fan-out or
+  // two threads opening the same BAM) each rename their own complete file
+  // into place
+  std::string tmp = sidecar_path(path) + ".tmp." + std::to_string(getpid())
+      + "." + std::to_string((uintptr_t)b % 100000);
   FILE* f = std::fopen(tmp.c_str(), "wb");
   if (!f) return;  // read-only location: silently skip
   bool ok = wr(f, NSI_MAGIC) && wr(f, size) && wr(f, mtime) &&
