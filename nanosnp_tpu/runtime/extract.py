@@ -74,23 +74,9 @@ class NativeBamExtractor:
         if bam is None or len(groups) == 0:
             return None
 
-        # coverage precheck over the groups' own positions
-        group_pos = np.unique(groups.reshape(-1))
-        pre = bam.read_matrices(contig, group_pos,
-                                excl_flags=PYSAM_EXCL_FLAGS)
-        if pre is None:
-            return None
-        covered = (pre["sequences"] != 0)
-        coverage = covered.sum(axis=0)
-        failed = set(int(p) for p in group_pos[coverage > self.max_coverage])
-        if failed:
-            keep = [i for i in range(len(groups))
-                    if not any(int(p) in failed for p in groups[i])]
-            groups = groups[keep]
-            if len(groups) == 0:
-                return None
-
-        # one sweep over the union of all needed positions
+        # ONE sweep over the union of all needed positions; the coverage
+        # precheck (create_pileup_haplotype.py:39-60) reads its counts off
+        # the same matrices instead of a second BAM pass
         centers = groups[:, groups.shape[1] // 2]
         ext = set()
         for g in groups:
@@ -99,9 +85,21 @@ class NativeBamExtractor:
             ext.update(range(int(c) - flank, int(c) + flank + 1))
         ext_positions = np.array(sorted(ext), dtype=np.int64)
         mats = bam.read_matrices(contig, ext_positions,
-                                 excl_flags=PYSAM_EXCL_FLAGS)
+                                 excl_flags=PYSAM_EXCL_FLAGS,
+                                 max_reads=8192)
         if mats is None:
             return None
+
+        group_pos = np.unique(groups.reshape(-1))
+        gp_cols = np.searchsorted(ext_positions, group_pos)
+        coverage = (mats["sequences"][:, gp_cols] != 0).sum(axis=0)
+        failed = set(int(p) for p in group_pos[coverage > self.max_coverage])
+        if failed:
+            keep = [i for i in range(len(groups))
+                    if not any(int(p) in failed for p in groups[i])]
+            groups = groups[keep]
+            if len(groups) == 0:
+                return None
         seqm = mats["sequences"]
         bqm = mats["baseq"]
         mqm = mats["mapq"]
