@@ -174,6 +174,17 @@ class HaplotypeShard:
 
 _KEYS = ("sequences", "hap", "baseq", "mapq")
 
+# Depth buckets shared by s4 packing, s5 inference pooling, and the
+# training iterator — train and serve MUST pad to the same depths.
+DEPTH_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+
+def depth_bucket(d: int) -> int:
+    for b in DEPTH_BUCKETS:
+        if d <= b:
+            return b
+    return ((d + 127) // 128) * 128
+
 
 def save_haplotype_shard(path: str, shard: HaplotypeShard) -> None:
     arrays = {

@@ -35,6 +35,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <string>
 #include <unordered_map>
@@ -93,12 +94,13 @@ struct OpenBam {
   uint64_t total_inflated = 0;
   std::mutex io_mu;                       // serializes file reads
 
-  // LRU cache of inflated blocks: overlapping region queries (phaser
+  // FIFO cache of inflated blocks: overlapping region queries (phaser
   // windows, s1 chunk flanks, s4 group sweeps) stop re-inflating the same
-  // BGZF blocks. Keyed by block index; bounded by NSP_BAM_CACHE_MB
-  // (default 256, 0 disables). Guarded by io_mu.
+  // BGZF blocks. Insertion-order eviction suits the sequential scans that
+  // dominate; keyed by block index, bounded by NSP_BAM_CACHE_MB (default
+  // 256, 0 disables). Guarded by io_mu.
   std::unordered_map<size_t, std::vector<uint8_t>> block_cache;
-  std::vector<size_t> lru_order;          // most-recent at back
+  std::deque<size_t> fifo_order;          // oldest at front
   size_t cache_bytes = 0;
 
   ~OpenBam() {
@@ -288,11 +290,11 @@ bool fetch_inflated(OpenBam* b, uint64_t lo, uint64_t hi,
     if (cap) {
       b->block_cache.emplace(
           i, std::vector<uint8_t>(buf.begin() + before, buf.end()));
-      b->lru_order.push_back(i);
+      b->fifo_order.push_back(i);
       b->cache_bytes += il;
-      while (b->cache_bytes > cap && !b->lru_order.empty()) {
-        size_t victim = b->lru_order.front();
-        b->lru_order.erase(b->lru_order.begin());
+      while (b->cache_bytes > cap && !b->fifo_order.empty()) {
+        size_t victim = b->fifo_order.front();
+        b->fifo_order.pop_front();
         auto vit = b->block_cache.find(victim);
         if (vit != b->block_cache.end()) {
           b->cache_bytes -= vit->second.size();
@@ -358,13 +360,28 @@ struct RegionIter {
 // format, validated against the BAM's (size, mtime).
 // ---------------------------------------------------------------------------
 
-static const uint32_t NSI_MAGIC = 0x3149534e;  // "NSI1"
+static const uint32_t NSI_MAGIC = 0x3249534e;  // "NSI2"
 
 static bool bam_stat(const char* path, uint64_t* size, uint64_t* mtime) {
   struct stat st;
   if (stat(path, &st) != 0) return false;
   *size = (uint64_t)st.st_size;
-  *mtime = (uint64_t)st.st_mtime;
+  // ns precision when available: same-second in-place rewrites must
+  // invalidate the sidecar
+  *mtime = (uint64_t)st.st_mtim.tv_sec * 1000000000ull
+           + (uint64_t)st.st_mtim.tv_nsec;
+  return true;
+}
+
+// crc of the first 64 KB: catches same-size same-mtime rewrites (e.g. a
+// tagged copy regenerated twice within the filesystem's mtime resolution)
+static bool bam_head_crc(const char* path, uint32_t* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::vector<uint8_t> buf(64 << 10);
+  size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  *out = crc32(0, buf.data(), (uInt)got);
   return true;
 }
 
@@ -389,10 +406,14 @@ static bool try_load_sidecar(OpenBam* b, const char* path) {
   FILE* f = std::fopen(sidecar_path(path).c_str(), "rb");
   if (!f) return false;
   bool ok = false;
+  uint32_t head_crc = 0;
+  if (!bam_head_crc(path, &head_crc)) { std::fclose(f); return false; }
   do {
     uint32_t magic; uint64_t s, m, n;
+    uint32_t hc;
     if (!rd(f, &magic) || magic != NSI_MAGIC) break;
     if (!rd(f, &s) || !rd(f, &m) || s != size || m != mtime) break;
+    if (!rd(f, &hc) || hc != head_crc) break;
     if (!rd(f, &b->total_inflated)) break;
     if (!rd(f, &n) || n > (1u << 24)) break;
     b->refs.resize(n);
@@ -433,8 +454,10 @@ static void write_sidecar(const OpenBam* b, const char* path) {
       + "." + std::to_string((uintptr_t)b % 100000);
   FILE* f = std::fopen(tmp.c_str(), "wb");
   if (!f) return;  // read-only location: silently skip
+  uint32_t head_crc = 0;
+  if (!bam_head_crc(path, &head_crc)) { std::fclose(f); std::remove(tmp.c_str()); return; }
   bool ok = wr(f, NSI_MAGIC) && wr(f, size) && wr(f, mtime) &&
-            wr(f, b->total_inflated);
+            wr(f, head_crc) && wr(f, b->total_inflated);
   ok = ok && wr(f, (uint64_t)b->refs.size());
   for (const auto& r : b->refs) {
     ok = ok && wr(f, (uint32_t)r.name.size()) && wr(f, r.length) &&

@@ -346,9 +346,10 @@ def _run_evaluate_haplotype(args, cfg) -> int:
     for batch in D.haplotype_train_iterator(
             list_shards(args.shards), truth_arrays, args.batch_size,
             np.random.default_rng(0), epochs=1, pn_value=1.0):
+        n_valid = batch.pop("_n", None)   # don't double-count tiled tails
         gt_p, zy_p = predictor.run(*[batch[k] for k in order])
-        gt_conf.update(gt_p.argmax(1), batch["gt"])
-        zy_conf.update(zy_p.argmax(1), batch["zy"])
+        gt_conf.update(gt_p.argmax(1)[:n_valid], batch["gt"][:n_valid])
+        zy_conf.update(zy_p.argmax(1)[:n_valid], batch["zy"][:n_valid])
     report = {"n": gt_conf.total}
     report.update(gt_conf.summary("gt_"))
     report.update(zy_conf.summary("zy_"))

@@ -65,14 +65,31 @@ def split_mpileup_by_contig(mpileup_path: str, out_dir: str,
     return written
 
 
+def _carry_suffix(lines: List[bytes], overlap_rows: int) -> List[bytes]:
+    """Trailing lines containing at least `overlap_rows` PARSEABLE rows
+    (>= 6 tab fields, integer position — the native parser's keep
+    criteria). Counting raw lines would under-carry when malformed lines
+    sit near the boundary, truncating a deferred candidate's left flank;
+    junk lines inside the suffix are harmless (the parser drops them)."""
+    n_ok = 0
+    for i in range(len(lines) - 1, -1, -1):
+        fields = lines[i].split(b"\t", 2)
+        if len(fields) >= 3 and fields[1].isdigit() \
+                and lines[i].count(b"\t") >= 5:
+            n_ok += 1
+            if n_ok >= overlap_rows:
+                return lines[i:]
+    return list(lines)
+
+
 def _iter_mpileup_units(path: str, overlap_rows: int,
                         chunk_bytes: int = 32 << 20):
     """Stream a per-contig mpileup file as (unit_lines, n_carry, is_final)
-    triples, where each unit = the previous unit's last `overlap_rows`
-    lines + one chunk of new complete lines. The overlap re-creates the
-    reference's O(window) ring buffer (make_candidate_snp_tensor/
-    main.cpp:126-217): every candidate sees its full +-flank row context in
-    exactly one unit."""
+    triples, where each unit = the previous unit's trailing lines covering
+    `overlap_rows` parseable rows + one chunk of new complete lines. The
+    overlap re-creates the reference's O(window) ring buffer
+    (make_candidate_snp_tensor/main.cpp:126-217): every candidate sees its
+    full +-flank row context in exactly one unit."""
     carry: List[bytes] = []
     tail = b""
     pending: Optional[List[bytes]] = None
@@ -90,7 +107,7 @@ def _iter_mpileup_units(path: str, overlap_rows: int,
             lines = data[: nl + 1].splitlines(keepends=True)
             if pending is not None:
                 yield pending, len(carry), False
-                carry = pending[-overlap_rows:]
+                carry = _carry_suffix(pending, overlap_rows)
             pending = carry + lines
     if tail:
         last = [tail if tail.endswith(b"\n") else tail + b"\n"]
@@ -590,21 +607,47 @@ def stage_haplotype_predict(
         pool["meta"] = pool["meta"][run_n:]
         pool["chunks"] = ([[a[run_n:] for a in args]] if keep else [])
 
-    for path in bins.list_shards(shard_dir):
+    # contig-grouped iteration: pools + result rows flush and write at
+    # every contig boundary, bounding host memory at O(contig) instead of
+    # accumulating the whole genome's CSV rows before one global sort
+    # (one tail flush per bucket pair per contig is the padding cost)
+    paths = bins.list_shards(shard_dir)
+    contig_of = {p: str(np.load(p)["contig"]) for p in paths}
+    paths.sort(key=lambda p: (C.contig_sort_key(contig_of[p]), p))
+    out_f = open(output_csv, "w")
+    cur_contig: List[Optional[str]] = [None]
+
+    def flush_contig():
+        for key in list(pools):
+            flush(key, final=True)
+        results.sort(key=lambda kv: kv[0])
+        for _, line in results:
+            out_f.write(line)
+        results.clear()
+        pools.clear()
+
+    for path in paths:
         shard = bins.load_haplotype_shard(path)
         if len(shard) == 0:
             continue
+        if cur_contig[0] is not None and shard.contig != cur_contig[0]:
+            flush_contig()
+        cur_contig[0] = shard.contig
         seq = ref.contig(shard.contig)
         dp_b = _bucket(shard.pileup["sequences"].shape[1])
         dh_b = _bucket(shard.haplotype["sequences"].shape[1])
         # read matrices ship as int8 (values fit [-2, 93]; featurizer casts
-        # to f32 on device) -> 4x less host->device traffic
+        # to f32 on device) -> 4x less host->device traffic.
+        # Key order MUST match fn's positional signature (seq, baseq, mapq,
+        # hap) — NOT bins._KEYS order, which lists hap second (round-1 bug:
+        # the permutation fed HP tags as base qualities and mapq as the
+        # phasing groups, silently degrading every haplotype call).
         i8 = np.int8
         args = []
         for view, db in (("pileup", dp_b), ("haplotype", dh_b)):
             d = getattr(shard, view)
             pad = ((0, 0), (0, db - d["sequences"].shape[1]), (0, 0))
-            for k in bins._KEYS:
+            for k in ("sequences", "baseq", "mapq", "hap"):
                 a = np.pad(d[k], pad, constant_values=C.PAD_VALUE)
                 # mapq can reach 254 in the BAM spec; clamp into int8 range
                 args.append(np.clip(a, -128, 127).astype(i8))
@@ -623,13 +666,8 @@ def stage_haplotype_predict(
         n_sites += len(shard)
         if len(pool["meta"]) >= get_predictor(dp_b).batch_size:
             flush(key, final=False)
-    for key in list(pools):
-        flush(key, final=True)
-
-    results.sort(key=lambda kv: kv[0])
-    with open(output_csv, "w") as out:
-        for _, line in results:
-            out.write(line)
+    flush_contig()
+    out_f.close()
     dt = time.monotonic() - t0
     return {"sites": n_sites, "sites_per_s": round(n_sites / dt, 1) if dt else 0}
 
@@ -646,11 +684,7 @@ def _depth_scaled_batch(batch_size: int, depth_bucket: int,
     return max(scaled // floor, 1) * floor
 
 
-def _bucket(d: int, buckets=(16, 32, 48, 64, 96, 128, 192, 256, 384, 512)) -> int:
-    for b in buckets:
-        if d <= b:
-            return b
-    return ((d + 127) // 128) * 128
+_bucket = bins.depth_bucket
 
 
 def stage_phase_native(

@@ -355,11 +355,7 @@ def haplotype_train_iterator(
             "zy": np.where(zy[idx] >= 0, zy[idx], 0).astype(np.int32),
         }
 
-    def bucket_of(d):
-        for b in (16, 32, 48, 64, 96, 128, 192, 256, 384, 512):
-            if d <= b:
-                return b
-        return ((d + 127) // 128) * 128
+    bucket_of = _bins.depth_bucket   # one table shared with s4/s5
 
     depth_keys = ("p_seq", "p_baseq", "p_mapq", "p_hap",
                   "h_seq", "h_baseq", "h_mapq", "h_hap")
@@ -390,10 +386,15 @@ def haplotype_train_iterator(
                     pool = {k: v[batch_size:] for k, v in pool.items()}
                 else:
                     # remainder: repeat samples up to a full static batch so
-                    # every batch shards evenly over the device mesh
+                    # every batch shards evenly over the device mesh; "_n"
+                    # carries the true row count so metric consumers
+                    # (validation, evaluate CLIs) don't double-count the
+                    # tiled rows
                     reps = -(-batch_size // n_avail)
                     idx = np.tile(np.arange(n_avail), reps)[:batch_size]
-                    yield {k: v[idx] for k, v in pool.items()}
+                    out_batch = {k: v[idx] for k, v in pool.items()}
+                    out_batch["_n"] = n_avail
+                    yield out_batch
                     pool = {k: v[:0] for k, v in pool.items()}
                 pools[key] = pool
                 if len(pool["gt"]) == 0:

@@ -177,9 +177,12 @@ def train_haplotype(
         for vb in val_iter_factory():
             if vb is EPOCH_END:
                 continue
-            loss, gtp, zyp = eval_step(_fast(st.params),
+            n_valid = vb.pop("_n", None)   # tiled remainder: count each
+            loss, gtp, zyp = eval_step(_fast(st.params),   # row once
                                        _device_batch(vb, data_sh))
-            vm.update(loss, gtp, vb["gt"], zyp, vb["zy"])
+            gtp, zyp = np.asarray(gtp), np.asarray(zyp)
+            vm.update(loss, gtp[:n_valid], vb["gt"][:n_valid],
+                      zyp[:n_valid], vb["zy"][:n_valid])
         return vm.scalars() if vm.batches else None
 
     def end_epoch(st: TrainState) -> None:
@@ -255,6 +258,12 @@ def train_haplotype(
             if tcfg.first_stage is not None and state.epoch >= tcfg.first_stage:
                 freeze[0] = 1.0
             continue
+        # strip the tiled-remainder metadata ("_n"): training on repeated
+        # tail rows is intentional (static batch shapes) and the train
+        # meter's slight tail overweight is immaterial — the exact
+        # accounting matters for VALIDATION, handled in run_validation
+        batch = dict(batch)
+        batch.pop("_n", None)
         key = tuple(sorted((k, v.shape) for k, v in batch.items()))
         bufs.setdefault(key, []).append(batch)
         if len(bufs[key]) >= max(group, 1):

@@ -78,6 +78,33 @@ def test_s1_text_streaming_matches_whole_file(synth_world, tmp_path):
     np.testing.assert_array_equal(a.alt_info, b.alt_info)
     assert m1["rows"] == m2["rows"]
 
+    # malformed lines sprinkled through the text (incl. near the tiny-chunk
+    # boundaries) must not truncate any deferred candidate's flank: the
+    # carry counts parseable rows, not raw lines
+    dirty_dir = tmp_path / "dirty"
+    dirty_dir.mkdir()
+    orig = open(os.path.join(synth_world["mdir"], "chrW.mpileup"),
+                "rb").read().splitlines(keepends=True)
+    rng = np.random.default_rng(5)
+    dirty = []
+    for i, line in enumerate(orig):
+        dirty.append(line)
+        if rng.random() < 0.05:
+            dirty.append(b"JUNK LINE NO TABS\n")
+        if rng.random() < 0.05:
+            dirty.append(b"chrW\tnotanint\tN\t0\t*\t*\n")
+    (dirty_dir / "chrW.mpileup").write_bytes(b"".join(dirty))
+    out_dw = tmp_path / "dirty_whole"
+    out_ds = tmp_path / "dirty_stream"
+    stages.stage_pileup_features(cfg, ref, str(dirty_dir), str(out_dw),
+                                 ["chrW"], chunk_bytes=1 << 30)
+    stages.stage_pileup_features(cfg, ref, str(dirty_dir), str(out_ds),
+                                 ["chrW"], chunk_bytes=4096)
+    da = bins.load_pileup_shard(str(out_dw / "chrW.npz"))
+    db = bins.load_pileup_shard(str(out_ds / "chrW.npz"))
+    np.testing.assert_array_equal(da.positions, db.positions)
+    np.testing.assert_array_equal(da.matrix, db.matrix)
+
 
 def test_full_native_pipeline_end_to_end(synth_world, tmp_path):
     """BAM -> s1 -> s2 -> s4 -> s5 -> s6 entirely through native + JAX
@@ -149,3 +176,78 @@ def test_runner_resume(tmp_path):
     runner2.reset(["b"])
     runner2.run([Stage("a", s_a), Stage("b", s_b)])
     assert calls == ["a", "b", "b"]
+
+
+def test_s5_feature_order_matches_named_mapping(tmp_path):
+    """Regression (round-2 review): stage_haplotype_predict must feed
+    (sequences, baseq, mapq, hap) to the featurizer in that order — the
+    round-1 code passed bins._KEYS order, silently permuting HP tags into
+    base qualities. Oracle: direct name-mapped featurization + model."""
+    import jax.numpy as jnp
+
+    from nanosnp_tpu.features.haplotype import (haplotype_features,
+                                                ref_position_codes,
+                                                ref_window_codes)
+    from nanosnp_tpu.io.fasta import write_fasta
+    from nanosnp_tpu.models.haplotype_model import (haplotype_predict,
+                                                    init_haplotype_params)
+    from nanosnp_tpu.constants import GT21_LABELS
+
+    rng = np.random.default_rng(77)
+    L = 2000
+    seq = "".join(rng.choice(list("ACGT"), size=L))
+    write_fasta(str(tmp_path / "r.fa"), {"cS": seq})
+    ref = FastaReference(str(tmp_path / "r.fa"))
+
+    n, dp, dh = 24, 10, 7
+    cand = np.arange(300, 300 + n * 40, 40, dtype=np.int64)
+    gpos = np.stack([cand + d * 3 for d in range(-5, 6)], axis=1)
+    # DISTINCT value ranges per matrix so any permutation changes outputs
+    shard = bins.HaplotypeShard(
+        contig="cS",
+        candidate_positions=cand,
+        group_positions=gpos,
+        pileup={"sequences": rng.integers(-1, 5, (n, dp, 33)).astype(np.int32),
+                "hap": rng.integers(1, 4, (n, dp, 33)).astype(np.int32),
+                "baseq": rng.integers(10, 40, (n, dp, 33)).astype(np.int32),
+                "mapq": rng.integers(40, 60, (n, dp, 33)).astype(np.int32)},
+        haplotype={"sequences": rng.integers(-1, 5, (n, dh, 11)).astype(np.int32),
+                   "hap": rng.integers(1, 4, (n, dh, 11)).astype(np.int32),
+                   "baseq": rng.integers(10, 40, (n, dh, 11)).astype(np.int32),
+                   "mapq": rng.integers(40, 60, (n, dh, 11)).astype(np.int32)},
+    )
+    sdir = tmp_path / "shards"
+    sdir.mkdir()
+    bins.save_haplotype_shard(str(sdir / "cS_d16x16.npz"), shard)
+
+    cfg = PipelineConfig()
+    cfg.inference.batch_size = 64
+    params = init_haplotype_params(jax.random.key(3), cfg.haplotype_model)
+    out_csv = tmp_path / "h.csv"
+    stages.stage_haplotype_predict(cfg, ref, str(sdir), str(out_csv), params)
+    got = {}
+    for line in open(out_csv):
+        c, p, gt, q = line.split("\t")
+        got[int(p)] = gt
+
+    # oracle: featurize by NAME with bucket padding identical to the stage
+    chr_seq = ref.contig("cS")
+    def pad16(a):
+        return np.pad(a, ((0, 0), (0, 16 - a.shape[1]), (0, 0)),
+                      constant_values=-2).astype(np.float32)
+    xp = haplotype_features(
+        jnp.asarray(pad16(shard.pileup["sequences"])),
+        jnp.asarray(pad16(shard.pileup["baseq"])),
+        jnp.asarray(pad16(shard.pileup["mapq"])),
+        jnp.asarray(pad16(shard.pileup["hap"])),
+        jnp.asarray(ref_window_codes(chr_seq, cand, 16)))
+    xh = haplotype_features(
+        jnp.asarray(pad16(shard.haplotype["sequences"])),
+        jnp.asarray(pad16(shard.haplotype["baseq"])),
+        jnp.asarray(pad16(shard.haplotype["mapq"])),
+        jnp.asarray(pad16(shard.haplotype["hap"])),
+        jnp.asarray(ref_position_codes(chr_seq, gpos)))
+    gt_p, _ = haplotype_predict(params, xp, xh, cfg.haplotype_model)
+    want = np.asarray(gt_p).argmax(1)
+    for j, p in enumerate(cand):
+        assert got[int(p)] == GT21_LABELS[want[j]], (j, p)
