@@ -64,7 +64,10 @@ class PipelineRunner:
                 continue
             self.log.info("stage %s: start (%s)", st.name, st.description)
             t0 = time.monotonic()
-            metrics = st.fn(**ctx) or {}
+            from ..utils.profiling import maybe_profile
+
+            with maybe_profile(st.name):   # NSP_PROFILE_DIR gates xprof
+                metrics = st.fn(**ctx) or {}
             dt = time.monotonic() - t0
             with open(marker, "w") as f:
                 json.dump({"seconds": dt, "metrics": metrics}, f)
