@@ -403,7 +403,10 @@ def test_haplotype_csv_matches_reference_predict_dev(parity_world, tmp_path):
         got[(c, int(p))] = (gt, float(q))
     assert set(want) == set(got), (len(want), len(got))
     n_gt_same = sum(1 for k in want if want[k][0] == got[k][0])
-    assert n_gt_same / len(want) > 0.98, (n_gt_same, len(want))
+    # tightened from 0.98 after the round-2 s5 feature-order fix: with
+    # identical (name-mapped) featurization the only differences left are
+    # f32 softmax ties
+    assert n_gt_same / len(want) > 0.995, (n_gt_same, len(want))
     for k in want:
         if want[k][0] == got[k][0]:
             assert abs(want[k][1] - got[k][1]) < 0.6, (k, want[k], got[k])
