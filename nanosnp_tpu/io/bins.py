@@ -209,8 +209,14 @@ def load_haplotype_shard(path: str) -> HaplotypeShard:
     )
 
 
-def save_haplotype_shard_h5(path: str, shard: HaplotypeShard) -> None:
-    """Reference-layout HDF5 (write_to_bins.py dataset names)."""
+def save_haplotype_shard_h5(path: str, shard: HaplotypeShard,
+                            candidate_labels: Optional[np.ndarray] = None
+                            ) -> None:
+    """Reference-layout HDF5 (write_to_bins.py dataset names). Passing
+    `candidate_labels` [N,3] (confident-flag, gt21, zygosity — the
+    train.data.attach_haplotype_labels output) produces the TRAIN-bin
+    layout (make_train_bins.py:123-127,258) readable by the reference
+    TrainingDataset."""
     import h5py
 
     n = len(shard)
@@ -227,6 +233,10 @@ def save_haplotype_shard_h5(path: str, shard: HaplotypeShard) -> None:
             f.create_dataset(f"haplotype_{k}", data=shard.haplotype[k].astype(np.int32))
         f.create_dataset("candidate_positions", data=cand)
         f.create_dataset("haplotype_positions", data=hpos)
+        if candidate_labels is not None:
+            f.create_dataset("candidate_labels",
+                             data=np.asarray(candidate_labels,
+                                             dtype=np.int32).reshape(n, 3))
 
 
 def load_haplotype_shard_h5(path: str) -> HaplotypeShard:

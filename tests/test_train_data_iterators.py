@@ -112,3 +112,33 @@ def test_haplotype_train_iterator(tmp_path):
     assert set(np.unique(b["zy"])) <= {0, 1, 2}
     # p_ref codes come from the registered reference
     assert b["p_ref"].max() <= 4
+
+
+def test_haplotype_train_h5_layout(tmp_path):
+    """Reference make_train_bins layout: shard h5 + candidate_labels [N,3]."""
+    import h5py
+
+    rng = np.random.default_rng(9)
+    n, dp, dh = 6, 8, 5
+    cand = np.arange(100, 100 + n * 30, 30, dtype=np.int64)
+    shard = bins.HaplotypeShard(
+        contig="c",
+        candidate_positions=cand,
+        group_positions=np.stack([cand + d for d in range(-5, 6)], axis=1),
+        pileup={k: rng.integers(-2, 5, (n, dp, 33)).astype(np.int32)
+                for k in bins._KEYS},
+        haplotype={k: rng.integers(-2, 5, (n, dh, 11)).astype(np.int32)
+                   for k in bins._KEYS},
+    )
+    labels = np.stack([np.ones(n), rng.integers(0, 10, n),
+                       rng.integers(0, 3, n)], axis=1).astype(np.int64)
+    p = str(tmp_path / "t.bin")
+    bins.save_haplotype_shard_h5(p, shard, candidate_labels=labels)
+    with h5py.File(p, "r") as f:
+        assert "candidate_labels" in f
+        assert f["candidate_labels"].shape == (n, 3)
+        np.testing.assert_array_equal(np.asarray(f["candidate_labels"]),
+                                      labels)
+    # predict-layout loader ignores the labels gracefully
+    back = bins.load_haplotype_shard_h5(p)
+    np.testing.assert_array_equal(back.candidate_positions, cand)
