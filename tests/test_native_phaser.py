@@ -150,3 +150,45 @@ def test_cli_call_with_native_phaser(phased_world, tmp_path):
     haps = sh.pileup["hap"]
     assert (haps == 1).any() and (haps == 2).any()
     assert (out / "merge.vcf").exists()
+
+
+def test_phase_window_invariants_fuzz():
+    """_phase_window on random allele matrices: signs in {-1,0,1},
+    uninformative sites stay 0, components consistent, and the MEC local
+    search never degrades below the all-plus assignment's objective."""
+    from nanosnp_tpu.phase.native_phaser import _phase_window
+
+    rng = np.random.default_rng(123)
+    for trial in range(30):
+        R = int(rng.integers(1, 60))
+        P = int(rng.integers(1, 40))
+        A = rng.choice([-1, 0, 1], size=(R, P),
+                       p=[0.2, 0.6, 0.2]).astype(np.int8)
+        s, comp, n_weak = _phase_window(A)
+        assert set(np.unique(s)) <= {-1, 0, 1}
+        informative = (A != 0).any(axis=0)
+        assert (s[~informative] == 0).all()
+        assert (comp[~informative] == -1).all()
+        assert (comp[informative] >= 0).all()
+        # objective: sum over reads of |A @ s| must beat the trivial
+        # all-(+1) orientation (local search started from a greedy chain)
+        def objective(sv):
+            return float(np.abs(A.astype(np.float64) @ sv).sum())
+        triv = np.where(informative, 1.0, 0.0)
+        assert objective(s.astype(np.float64)) >= objective(triv) - 1e-9
+
+
+def test_phase_contig_empty_and_single_site(phased_world):
+    """Degenerate inputs: no sites, one site, sites with no coverage."""
+    w = phased_world
+    with BamFile(w["untagged"]) as bam:
+        r0 = phase_contig(bam, "chrP", np.zeros(0, dtype=np.int64), [], [])
+        assert len(r0.read_hp) == 0 and r0.n_blocks == 0
+        r1 = phase_contig(bam, "chrP", np.array([500], dtype=np.int64),
+                          ["A"], ["T"], min_mq=0)
+        assert set(r1.hap_of_alt) <= {0, 1, 2}
+        # positions beyond the contig: no reads -> everything unphased
+        r2 = phase_contig(bam, "chrP",
+                          np.array([1_000_000, 1_000_050], dtype=np.int64),
+                          ["A", "C"], ["T", "G"], min_mq=0)
+        assert (r2.hap_of_alt == 0).all() and not r2.read_hp
