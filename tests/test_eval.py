@@ -153,3 +153,18 @@ def test_best_checkpoint_retention(tmp_path):
                      max_steps=16, eval_fn=eval_fn)
     assert len(metrics_seen) >= 3
     assert (tmp_path / "best.ckpt").exists()
+
+
+def test_diff_haplotype_csvs():
+    from nanosnp_tpu.eval.diff import diff_haplotype_csvs
+
+    a = ["chr1\t10\tAC\t12.0\n", "chr1\t20\tGG\t9.0\n", "chr2\t5\tTT\t7.0\n"]
+    b = ["chr1\t10\tAC\t12.5\n", "chr1\t20\tGT\t9.0\n", "chr2\t7\tTT\t7.0\n"]
+    d = diff_haplotype_csvs(a, b)
+    assert d.n_common == 2
+    assert len(d.only_a) == 1 and d.only_a[0].startswith("chr2\t5")
+    assert len(d.only_b) == 1 and d.only_b[0].startswith("chr2\t7")
+    # GT compared; qual differences ignored
+    assert len(d.field_diffs) == 1 and d.field_diffs[0][1] == "GG"
+    assert not d.identical
+    assert diff_haplotype_csvs(a, a).identical
