@@ -9,6 +9,7 @@ then BAM order).
 from __future__ import annotations
 
 import ctypes
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -65,6 +66,29 @@ class BamFile:
         self.handle = self.lib.nsp_bam_open(path.encode())
         if self.handle < 0:
             raise NativeUnavailable(f"failed to open BAM {path}: {self.handle}")
+        # per-thread scratch for read_matrices: fresh multi-10-MB
+        # allocations per call cost ~10x the native fill itself (page
+        # faults on every window), so buffers persist and grow
+        # geometrically; callers only ever see [:r] copies
+        self._tls = threading.local()
+
+    def _matrix_scratch(self, max_reads: int, n_pos: int):
+        t = self._tls
+        cap_r = getattr(t, "cap_r", 0)
+        cap_p = getattr(t, "cap_p", 0)
+        if max_reads > cap_r or max_reads * n_pos > cap_r * cap_p:
+            cap_r = max(max_reads, cap_r, 1024)
+            cap_p = max(n_pos, cap_p, 64)
+            # flat cells: native packs rows at n_pos stride, so only the
+            # total element count matters, not the 2-D shape
+            t.base = np.zeros(cap_r * cap_p, dtype=np.int32)
+            t.baseq = np.zeros(cap_r * cap_p, dtype=np.int32)
+            t.mapq = np.zeros(cap_r * cap_p, dtype=np.int32)
+            t.hap = np.zeros(cap_r, dtype=np.int32)
+            t.first_col = np.zeros(cap_r, dtype=np.int32)
+            t.read_ids = np.zeros(cap_r, dtype=np.int64)
+            t.cap_r, t.cap_p = cap_r, cap_p
+        return t
 
     def close(self):
         if self.handle >= 0:
@@ -165,19 +189,21 @@ class BamFile:
         sorted to pysam pileup order. Returns None when no read covers any
         position."""
         positions1 = np.asarray(positions1, dtype=np.int64)
+        if not positions1.flags.c_contiguous:
+            positions1 = np.ascontiguousarray(positions1)
         n_pos = len(positions1)
+        if n_pos == 0:
+            return None
         for _ in range(4):
-            base = np.zeros((max_reads, n_pos), dtype=np.int32)
-            baseq = np.zeros((max_reads, n_pos), dtype=np.int32)
-            mapq = np.zeros((max_reads, n_pos), dtype=np.int32)
-            hap = np.zeros(max_reads, dtype=np.int32)
-            first_col = np.zeros(max_reads, dtype=np.int32)
-            read_ids = np.zeros(max_reads, dtype=np.int64)
+            t = self._matrix_scratch(max_reads, n_pos)
+            # use the full scratch row capacity so a retry only happens
+            # when the region genuinely outgrows it
+            eff_max = min(t.cap_r, (t.cap_r * t.cap_p) // n_pos)
             ret = self.lib.nsp_bam_read_matrices(
                 self.handle, contig.encode(), _ptr(positions1), n_pos,
-                min_mq, excl_flags, max_reads,
-                _ptr(base), _ptr(baseq), _ptr(mapq), _ptr(hap),
-                _ptr(first_col), _ptr(read_ids))
+                min_mq, excl_flags, eff_max,
+                _ptr(t.base), _ptr(t.baseq), _ptr(t.mapq), _ptr(t.hap),
+                _ptr(t.first_col), _ptr(t.read_ids))
             if ret >= 0:
                 break
             if ret in (-1, -2):
@@ -188,14 +214,17 @@ class BamFile:
         r = int(ret)
         if r == 0:
             return None
-        order = np.argsort(first_col[:r], kind="stable")
+        base = t.base[: r * n_pos].reshape(r, n_pos)
+        baseq = t.baseq[: r * n_pos].reshape(r, n_pos)
+        mapq = t.mapq[: r * n_pos].reshape(r, n_pos)
+        order = np.argsort(t.first_col[:r], kind="stable")
         return {
-            "sequences": base[:r][order],
-            "baseq": baseq[:r][order],
-            "mapq": mapq[:r][order],
-            "hap_tags": hap[:r][order],
-            "first_col": first_col[:r][order],
-            "read_ids": read_ids[:r][order],
+            "sequences": base[order],
+            "baseq": baseq[order],
+            "mapq": mapq[order],
+            "hap_tags": t.hap[:r][order],
+            "first_col": t.first_col[:r][order],
+            "read_ids": t.read_ids[:r][order],
         }
 
     def write_tagged(self, out_path: str, read_hp: Dict[int, int],

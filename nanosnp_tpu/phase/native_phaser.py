@@ -74,7 +74,15 @@ def _phase_window(A: np.ndarray, n_iter: int = 8,
     if P == 0:
         return s, comp, 0
 
-    # union-find over sites
+    # chain edges (cols[j-1], cols[j]) of every read, extracted in one
+    # vectorized pass: np.nonzero walks row-major, so consecutive entries
+    # with equal row index are consecutive informative sites of one read
+    rr, cc = np.nonzero(used)
+    same_read = rr[1:] == rr[:-1]
+    edges = np.unique(cc[:-1][same_read].astype(np.int64) * P
+                      + cc[1:][same_read])
+
+    # union-find over the (few) unique edges
     parent = np.arange(P)
 
     def find(x):
@@ -83,28 +91,36 @@ def _phase_window(A: np.ndarray, n_iter: int = 8,
             x = parent[x]
         return x
 
-    for r in range(R):
-        cols = np.flatnonzero(used[r])
-        for j in range(1, len(cols)):
-            a, b = find(cols[j - 1]), find(cols[j])
-            if a != b:
-                parent[b] = a
+    for e in edges:
+        a, b = find(int(e) // P), find(int(e) % P)
+        if a != b:
+            parent[b] = a
     roots = np.array([find(p) for p in range(P)])
-    informative = used.sum(axis=0) > 0
+    informative = np.zeros(P, dtype=bool)
+    informative[cc] = True
     comp = np.where(informative, roots, -1)
 
     # greedy chain init: orient each site by the accumulated vote of
     # already-oriented sites (weighted by read agreement); `votes[r]`
-    # carries each read's running agreement so the sweep is O(P·R)
+    # carries each read's running agreement. Column-sparse updates make
+    # the sweep O(nnz) — each site only touches its covering reads.
     s_f = np.zeros(P, dtype=np.float32)
     Af = A.astype(np.float32)
     votes = np.zeros(R, dtype=np.float32)
+    col_starts = np.searchsorted(cc, np.arange(P + 1),
+                                 sorter=np.argsort(cc, kind="stable"))
+    cc_order = np.argsort(cc, kind="stable")
+    rows_by_col = rr[cc_order]
+    vals_by_col = A[rr[cc_order], cc[cc_order]].astype(np.float32)
     for p in range(P):
         if not informative[p]:
             continue
-        v = float(Af[:, p] @ votes)
+        sl = slice(col_starts[p], col_starts[p + 1])
+        rows = rows_by_col[sl]
+        vals = vals_by_col[sl]
+        v = float(vals @ votes[rows])
         s_f[p] = 1.0 if v >= 0 else -1.0
-        votes += Af[:, p] * s_f[p]
+        votes[rows] += vals * s_f[p]
     # alternating majority sweeps (vectorized local search)
     for _ in range(n_iter):
         h = Af @ s_f                          # [R] read scores

@@ -576,7 +576,12 @@ def _run_call(args, cfg) -> int:
         num_processes=getattr(args, "num_hosts", None),
         process_id=getattr(args, "host_id", None))
     ref = FastaReference(args.ref)
-    all_contigs = args.contigs or [c for c in ALL_CHROMS if c in ref.by_name]
+    # default to the reference's major-contig order, but when the FASTA
+    # uses nonstandard names (synthetic worlds, non-human assemblies) fall
+    # back to every contig — an empty list would silently skip s4/s5
+    all_contigs = (args.contigs
+                   or [c for c in ALL_CHROMS if c in ref.by_name]
+                   or [e.name for e in ref.entries])
     if plan.n_hosts > 1:
         # deterministic LPT contig fan-out over hosts (each host computes the
         # same plan; the reference's GNU-parallel chromosome fan-out at
