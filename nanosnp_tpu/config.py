@@ -78,6 +78,11 @@ class HaplotypeFeatureConfig:
     # reads link blocks across windows
     phaser_window_bp: int = 50_000
     phaser_overlap_bp: int = 20_000
+    # bug-compat: drop a whole extraction chunk when any read has a
+    # non-ACGT base at a requested position (the reference's swallowed
+    # base_to_int KeyError poisons its chunk,
+    # create_pileup_haplotype.py:122,213); off = keep the sites
+    nbase_chunk_drop: bool = False
 
 
 @dataclass

@@ -43,7 +43,7 @@ def _bind(lib):
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.nsp_bam_write_tagged.restype = ctypes.c_int64
     lib.nsp_bam_write_tagged.argtypes = [
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -186,14 +186,17 @@ class BamFile:
         """Matrices over reads x requested positions: base (0/1-4/-1),
         baseq, mapq [R, P] int32; hap [R]; read_ids [R] int64 (stable
         per-record identity — the record's inflated-stream offset); rows
-        sorted to pysam pileup order. Returns None when no read covers any
-        position."""
+        sorted to pysam pileup order; n_nonacgt = count of non-ACGT read
+        bases seen at requested positions (the reference's chunk-poisoning
+        trigger, create_pileup_haplotype.py:122). Returns None when no
+        read covers any position."""
         positions1 = np.asarray(positions1, dtype=np.int64)
         if not positions1.flags.c_contiguous:
             positions1 = np.ascontiguousarray(positions1)
         n_pos = len(positions1)
         if n_pos == 0:
             return None
+        nonacgt = np.zeros(1, dtype=np.int64)
         for _ in range(4):
             t = self._matrix_scratch(max_reads, n_pos)
             # use the full scratch row capacity so a retry only happens
@@ -203,7 +206,7 @@ class BamFile:
                 self.handle, contig.encode(), _ptr(positions1), n_pos,
                 min_mq, excl_flags, eff_max,
                 _ptr(t.base), _ptr(t.baseq), _ptr(t.mapq), _ptr(t.hap),
-                _ptr(t.first_col), _ptr(t.read_ids))
+                _ptr(t.first_col), _ptr(t.read_ids), _ptr(nonacgt))
             if ret >= 0:
                 break
             if ret in (-1, -2):
@@ -225,6 +228,7 @@ class BamFile:
             "hap_tags": t.hap[:r][order],
             "first_col": t.first_col[:r][order],
             "read_ids": t.read_ids[:r][order],
+            "n_nonacgt": int(nonacgt[0]),
         }
 
     def write_tagged(self, out_path: str, read_hp: Dict[int, int],

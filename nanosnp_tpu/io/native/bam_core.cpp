@@ -942,7 +942,12 @@ int64_t nsp_bam_read_matrices(
     int64_t max_reads,
     int32_t* base_out, int32_t* baseq_out, int32_t* mapq_out,
     int32_t* hap_out, int32_t* first_col_out,
-    int64_t* readid_out /* may be null: per-row stable record id */) {
+    int64_t* readid_out /* may be null: per-row stable record id */,
+    int64_t* nonacgt_out /* may be null: count of non-ACGT read bases at
+                            requested positions (the reference's
+                            base_to_int KeyError trigger,
+                            create_pileup_haplotype.py:122) */) {
+  if (nonacgt_out) *nonacgt_out = 0;
   OpenBam* b;
   {
     std::lock_guard<std::mutex> lk(g_mu);
@@ -1002,6 +1007,8 @@ int64_t nsp_bam_read_matrices(
           if (b4 < 4) {
             if (first_col < 0) first_col = (int32_t)col;
             touched = true;
+          } else if (nonacgt_out) {
+            ++*nonacgt_out;
           }
         }
         rpos += ln;

@@ -701,7 +701,8 @@ def _run_call(args, cfg) -> int:
                 paths = {c: args.bam for c in contigs}
             extractor = NativeBamExtractor(
                 paths, cfg.haplotype_feature.max_coverage,
-                hp_overrides=hp_overrides)
+                hp_overrides=hp_overrides,
+                nbase_chunk_drop=cfg.haplotype_feature.nbase_chunk_drop)
             try:
                 return stages.stage_haplotype_features(
                     cfg, ref, pileup_vcf, extractor, hap_shards)

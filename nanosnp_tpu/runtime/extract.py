@@ -34,14 +34,19 @@ class NativeBamExtractor:
     (stage_haplotype_features signature: (contig, groups, flank) -> mats)."""
 
     def __init__(self, bam_dir_or_paths, max_coverage: int = C.MAX_COVERAGE,
-                 hp_overrides=None):
+                 hp_overrides=None, nbase_chunk_drop: bool = False):
         # bam_dir_or_paths: directory with {contig}.bam, or {contig: path}
         # hp_overrides: {contig: {read_id: 1|2}} from the native phaser —
         # replaces BAM HP tags so no tagged-BAM round trip is needed
+        # nbase_chunk_drop: bug-compat mode — drop the whole chunk when any
+        # read carries a non-ACGT base at a requested position, replicating
+        # the reference's swallowed base_to_int KeyError
+        # (create_pileup_haplotype.py:122,213); default keeps the sites
         import threading
 
         self.max_coverage = max_coverage
         self.hp_overrides = hp_overrides or {}
+        self.nbase_chunk_drop = nbase_chunk_drop
         self._open_lock = threading.Lock()
         if isinstance(bam_dir_or_paths, dict):
             self.paths = dict(bam_dir_or_paths)
@@ -88,6 +93,8 @@ class NativeBamExtractor:
                                  excl_flags=PYSAM_EXCL_FLAGS,
                                  max_reads=8192)
         if mats is None:
+            return None
+        if self.nbase_chunk_drop and mats.get("n_nonacgt", 0) > 0:
             return None
 
         group_pos = np.unique(groups.reshape(-1))

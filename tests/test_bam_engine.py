@@ -384,3 +384,49 @@ def test_split_by_tag(tmp_path):
         assert (m["hap_tags"] == want_hp).all()
         # a read can miss every sampled column (edge/N bases): allow slack
         assert want_n - 2 <= len(m["hap_tags"]) <= want_n
+
+
+def test_nonacgt_counter_and_chunk_drop(tmp_path):
+    """N bases at requested positions are counted (n_nonacgt), and the
+    bug-compat extractor mode drops the whole chunk like the reference's
+    swallowed base_to_int KeyError (create_pileup_haplotype.py:122,213)."""
+    from nanosnp_tpu.runtime.extract import NativeBamExtractor
+
+    rng = np.random.default_rng(31)
+    L = 600
+    seq = "".join(rng.choice(list("ACGT"), size=L))
+    # explicit all-M reads so query offset == reference offset
+    reads = []
+    for i, start in enumerate(range(0, 400, 40)):
+        s = list(seq[start: start + 200])
+        if start <= 280 and start + 200 > 320 and not any(
+                "N" in r.seq for r in reads):
+            s[300 - start] = "N"   # plant one N at ref pos 300 (0-based)
+        reads.append(Read(name=f"r{i}", ref_id=0, start0=start,
+                          cigar=[("M", 200)], seq="".join(s),
+                          quals=[30] * 200))
+    assert any("N" in r.seq for r in reads)
+    bam_path = tmp_path / "n.bam"
+    write_bam(str(bam_path), [("chrN", L)], reads)
+
+    clean = np.array([150, 200], dtype=np.int64)       # away from the N
+    dirty = np.array([250, 301, 350], dtype=np.int64)  # 301 is the N (1-based)
+    with BamFile(str(bam_path)) as bam:
+        m_clean = bam.read_matrices("chrN", clean, min_mq=0)
+        m_dirty = bam.read_matrices("chrN", dirty, min_mq=0)
+    assert m_clean["n_nonacgt"] == 0
+    assert m_dirty["n_nonacgt"] >= 1
+    # the N cell itself stays 0 (site kept) in the default mode
+    col = int(np.searchsorted(dirty, 301))
+    assert (m_dirty["sequences"][:, col] >= 0).all()
+
+    groups = np.array([[250, 301, 350]], dtype=np.int64)
+    default = NativeBamExtractor({"chrN": str(bam_path)})
+    compat = NativeBamExtractor({"chrN": str(bam_path)},
+                                nbase_chunk_drop=True)
+    try:
+        assert default("chrN", groups, 1) is not None
+        assert compat("chrN", groups, 1) is None
+    finally:
+        default.close()
+        compat.close()
