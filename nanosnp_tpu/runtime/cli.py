@@ -566,6 +566,17 @@ def _ensure_mpileup_dir(args, cfg, work_dir=None, contigs=None) -> str:
     raise SystemExit("one of --mpileup-dir / --mpileup / --bam is required")
 
 
+def resolve_contigs(requested, ref) -> list:
+    """Contigs the call pipeline works on: the user's --contigs, else the
+    reference's major-contig order (run_caller.sh operates chr1..chrX/Y),
+    else — when the FASTA uses nonstandard names (synthetic worlds,
+    non-human assemblies) — every FASTA contig. Never empty for a
+    non-empty FASTA: an empty list would silently skip s4/s5."""
+    return (list(requested) if requested
+            else [c for c in ALL_CHROMS if c in ref.by_name]
+            or [e.name for e in ref.entries])
+
+
 def _run_call(args, cfg) -> int:
     from ..parallel.launch import (barrier, host_contigs,
                                    initialize_distributed, merge_host_csvs,
@@ -576,12 +587,7 @@ def _run_call(args, cfg) -> int:
         num_processes=getattr(args, "num_hosts", None),
         process_id=getattr(args, "host_id", None))
     ref = FastaReference(args.ref)
-    # default to the reference's major-contig order, but when the FASTA
-    # uses nonstandard names (synthetic worlds, non-human assemblies) fall
-    # back to every contig — an empty list would silently skip s4/s5
-    all_contigs = (args.contigs
-                   or [c for c in ALL_CHROMS if c in ref.by_name]
-                   or [e.name for e in ref.entries])
+    all_contigs = resolve_contigs(args.contigs, ref)
     if plan.n_hosts > 1:
         # deterministic LPT contig fan-out over hosts (each host computes the
         # same plan; the reference's GNU-parallel chromosome fan-out at

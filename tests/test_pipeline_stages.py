@@ -251,3 +251,22 @@ def test_s5_feature_order_matches_named_mapping(tmp_path):
     want = np.asarray(gt_p).argmax(1)
     for j, p in enumerate(cand):
         assert got[int(p)] == GT21_LABELS[want[j]], (j, p)
+
+
+def test_resolve_contigs_fallbacks(tmp_path):
+    """Nonstandard FASTA names must fall back to all contigs — an empty
+    selection silently skipped s4/s5 (regression)."""
+    from nanosnp_tpu.io.fasta import FastaReference, write_fasta
+    from nanosnp_tpu.runtime.cli import resolve_contigs
+
+    write_fasta(str(tmp_path / "a.fa"),
+                {"vchr": "ACGT" * 40, "other": "ACGT" * 30})
+    ref = FastaReference(str(tmp_path / "a.fa"))
+    assert resolve_contigs(None, ref) == ["vchr", "other"]
+    assert resolve_contigs(["other"], ref) == ["other"]
+
+    write_fasta(str(tmp_path / "b.fa"),
+                {"chr2": "ACGT" * 40, "chr1": "ACGT" * 30, "odd": "ACGT" * 8})
+    refb = FastaReference(str(tmp_path / "b.fa"))
+    # major-contig order wins over FASTA order; extras are excluded
+    assert resolve_contigs(None, refb) == ["chr1", "chr2"]
