@@ -49,13 +49,26 @@ struct TextTables {
 };
 const TextTables TT;
 
-// singles_out/indels_out expose the per-row observations so the caller can
-// build alt_info lazily (candidates only, ~2-5% of rows).
+// Per-thread reusable buffers: every std::string/vector keeps its heap
+// capacity across rows, so indel-dense data stops hammering the allocator
+// (the per-event alloc cost dominated s1 at high indel rates).
+struct RowScratch {
+  struct KeyCount {
+    std::string key;
+    int count;
+  };
+  std::vector<KeyCount> keys;     // active prefix [0, n_keys)
+  size_t n_keys = 0;
+  std::vector<IndelObs> indels;   // sized to the row's distinct events
+};
+
+// singles_out exposes the per-row observations so the caller can build
+// alt_info lazily (candidates only, ~2-5% of rows); scratch->indels holds
+// the row's distinct indel observations after the call.
 void parse_row(const char* bases, int64_t blen, const char* ref_seq,
                int64_t ref_len, int64_t pos1, double snp_min_af,
                double indel_min_af, int max_indel, int32_t* counts,
-               PosResult* out, int32_t* singles_out,
-               std::vector<IndelObs>* indels_out) {
+               PosResult* out, int32_t* singles_out, RowScratch* scratch) {
   int32_t* singles = singles_out;
   std::memset(singles, 0, nsp::NUM_SINGLE * sizeof(int32_t));
   // distinct printed indel keys, preserving the reference's cov_stats
@@ -63,11 +76,8 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
   // handful of distinct events, so a flat vector with linear probing +
   // one final sort beats rb-tree inserts ~2x on indel-dense data; the
   // final sort restores std::map (lexicographic) iteration order.
-  struct KeyCount {
-    std::string key;
-    int count;
-  };
-  std::vector<KeyCount> indel_keys;
+  std::vector<RowScratch::KeyCount>& indel_keys = scratch->keys;
+  size_t nk = 0;
 
   int64_t i = 0;
   while (i < blen) {
@@ -82,7 +92,8 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
       if (adv <= max_indel) {
         const char* kp = bases + i;
         bool found = false;
-        for (auto& kc : indel_keys) {
+        for (size_t t = 0; t < nk; ++t) {
+          auto& kc = indel_keys[t];
           if ((int64_t)kc.key.size() == adv + 1 && kc.key[0] == b &&
               std::memcmp(kc.key.data() + 1, kp, (size_t)adv) == 0) {
             ++kc.count;
@@ -91,11 +102,12 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
           }
         }
         if (!found) {
-          indel_keys.push_back(KeyCount{std::string(), 1});
-          auto& k = indel_keys.back().key;
-          k.reserve((size_t)adv + 1);
-          k.push_back(b);
-          k.append(kp, (size_t)adv);
+          if (nk == indel_keys.size()) indel_keys.emplace_back();
+          auto& kc = indel_keys[nk++];
+          kc.count = 1;
+          kc.key.clear();                 // keeps capacity
+          kc.key.push_back(b);
+          kc.key.append(kp, (size_t)adv);
         }
       }
       i += adv - 1;
@@ -106,27 +118,30 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
     }
     ++i;
   }
-  std::sort(indel_keys.begin(), indel_keys.end(),
-            [](const KeyCount& a, const KeyCount& b) { return a.key < b.key; });
+  scratch->n_keys = nk;
+  std::sort(indel_keys.begin(), indel_keys.begin() + nk,
+            [](const RowScratch::KeyCount& a, const RowScratch::KeyCount& b) {
+              return a.key < b.key;
+            });
 
-  std::vector<IndelObs>& indels = *indels_out;
-  indels.clear();
-  indels.reserve(indel_keys.size());
-  for (auto& kv : indel_keys) {
-    const std::string& k = kv.key;
-    IndelObs ob;
+  std::vector<IndelObs>& indels = scratch->indels;
+  if (indels.size() < nk) indels.resize(nk);
+  for (size_t t = 0; t < nk; ++t) {
+    const std::string& k = indel_keys[t].key;
+    IndelObs& ob = indels[t];
     ob.is_del = (k[0] == '-');
     ob.fwd = nsp::tables().fwd[(uint8_t)k[1]];
-    ob.count = kv.count;
+    ob.count = indel_keys[t].count;
+    ob.seq.clear();                       // keeps capacity
     if (ob.is_del) {
       ob.del_len = (int)k.size() - 1;
     } else {
-      ob.seq.reserve(k.size() - 1);
+      ob.del_len = 0;
       for (size_t p = 1; p < k.size(); ++p)
         ob.seq += (char)std::toupper(k[p]);
     }
-    indels.push_back(std::move(ob));
   }
+  if (indels.size() > nk) indels.resize(nk);  // shrink pool to the row
 
   nsp::aggregate_position(singles, indels, ref_seq, ref_len, pos1,
                           snp_min_af, indel_min_af, counts, out, nullptr);
@@ -178,7 +193,10 @@ int64_t nsp_parse_mpileup(
   std::vector<std::string> alt_strs(n);
   std::vector<uint8_t> keep(n, 1);
 
-#pragma omp parallel for schedule(static)
+#pragma omp parallel
+ {
+  RowScratch scratch;
+#pragma omp for schedule(static)
   for (int64_t r = 0; r < n; ++r) {
     const char* p = lines[r].first;
     const char* eol = lines[r].second;
@@ -209,9 +227,8 @@ int64_t nsp_parse_mpileup(
     int32_t* row_counts = counts + r * nsp::NUM_CH;
     PosResult res;
     int32_t singles[nsp::NUM_SINGLE];
-    std::vector<IndelObs> indels;
     parse_row(bases, bend - bases, ref_seq, ref_len, pos1, snp_min_af,
-              indel_min_af, max_indel, row_counts, &res, singles, &indels);
+              indel_min_af, max_indel, row_counts, &res, singles, &scratch);
 
     char ref_base = (pos1 - 1 < ref_len)
                         ? (char)std::toupper(ref_seq[pos1 - 1]) : 'N';
@@ -231,11 +248,12 @@ int64_t nsp_parse_mpileup(
     afs[r] = res.af;
     is_candidate[r] = cand ? 1 : 0;
     if (cand)
-      nsp::build_alt_info(singles, indels, ref_seq, ref_len, pos1,
+      nsp::build_alt_info(singles, scratch.indels, ref_seq, ref_len, pos1,
                           &alt_strs[r]);
     else
       alt_strs[r].clear();
   }
+ }  // omp parallel
 
   int64_t w = 0;
   int64_t alt_used = 0;
