@@ -24,6 +24,15 @@ Input projections (the large batch x time matmul) stay outside in XLA where
 they already saturate the MXU; the wrapper takes the standard [L, 2, N, 4H]
 time-major projections (backward direction pre-reversed, exactly as
 models/bilstm._bilstm_layer builds them) and handles the layout change.
+
+Inference goes one step further (bilstm_encoder_pallas, fused=True): v5e
+measurement showed the recurrence is HBM-bandwidth-bound on streaming the
+4H-wide xp slabs, so the fused encoder kernels compute the in-projection
+*inside* the program — w_ih joins w_hh in VMEM, the HBM in-stream is the
+D-wide layer input (4H/D x smaller), inter-layer outputs stream as bf16,
+and under center_only the last layer writes a single [2, H, N] block
+instead of the full sequence. Net ~5x less recurrence HBM traffic;
+pileup model 2.5x faster end to end, argmax-identical decodes.
 """
 from __future__ import annotations
 
@@ -127,7 +136,7 @@ def _kernel(xp_hbm, w_ref, out_hbm, h_ref, c_ref, xbuf, obuf, in_sems,
         if t >= 2:
             for cp in out_copy(t - 2, slot):
                 cp.wait()
-        obuf[slot] = h
+        obuf[slot] = h.astype(obuf.dtype)
         for cp in out_copy(t, slot):
             cp.start()
 
@@ -411,6 +420,200 @@ def _recurrence_bwd(meta, res, g):
 _recurrence.defvjp(_recurrence_fwd, _recurrence_bwd)
 
 
+def _enc_stream_kernel(x_hbm, wih_ref, w_ref, b_ref, out_hbm, h_ref, c_ref,
+                       xbuf, obuf, in_sems, out_sems, *, seq_len, hidden,
+                       block_n):
+    """Fused in-projection + recurrence, full-sequence output.
+
+    Unlike _kernel, the input stream is the layer input x [L, D, Npad]
+    (D = d_in, e.g. 18/32 or 2H) rather than the 4H-wide projections: the
+    per-timestep projection runs on the in-kernel MXU with w_ih resident in
+    VMEM. For narrow-D layers this cuts the HBM in-stream ~4H/D x, which is
+    what the recurrence is actually bound by (measured v5e: the xp stream,
+    not the matmul, dominates step time)."""
+    i = pl.program_id(0)
+
+    def _time(t, d):
+        return seq_len - 1 - t if d == 1 else t
+
+    def in_copy(t, slot):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[_time(t, d), :, pl.ds(i * block_n, block_n)],
+                xbuf.at[slot, d], in_sems.at[slot, d])
+            for d in (0, 1)
+        ]
+
+    def out_copy(t, slot):
+        return [
+            pltpu.make_async_copy(
+                obuf.at[slot, d],
+                out_hbm.at[_time(t, d), d, :, pl.ds(i * block_n, block_n)],
+                out_sems.at[slot, d])
+            for d in (0, 1)
+        ]
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    for cp in in_copy(0, 0):
+        cp.start()
+
+    for t in range(seq_len):
+        slot = t % 2
+        if t + 1 < seq_len:
+            for cp in in_copy(t + 1, (t + 1) % 2):
+                cp.start()
+        for cp in in_copy(t, slot):
+            cp.wait()
+        # [2, 4H, D] x [2, D, BN] -> in-projection for this timestep
+        gates = jax.lax.dot_general(
+            wih_ref[...], xbuf[slot],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + jax.lax.dot_general(
+            w_ref[...], h_ref[...].astype(w_ref.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + b_ref[...]
+        ig = jax.nn.sigmoid(gates[:, :hidden, :])
+        fg = jax.nn.sigmoid(gates[:, hidden: 2 * hidden, :])
+        gg = jnp.tanh(gates[:, 2 * hidden: 3 * hidden, :])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden:, :])
+        c = fg * c_ref[...] + ig * gg
+        h = og * jnp.tanh(c)
+        c_ref[...] = c
+        h_ref[...] = h
+
+        if t >= 2:
+            for cp in out_copy(t - 2, slot):
+                cp.wait()
+        obuf[slot] = h.astype(obuf.dtype)
+        for cp in out_copy(t, slot):
+            cp.start()
+
+    if seq_len >= 2:
+        for cp in out_copy(seq_len - 2, (seq_len - 2) % 2):
+            cp.wait()
+    for cp in out_copy(seq_len - 1, (seq_len - 1) % 2):
+        cp.wait()
+
+
+def _enc_center_kernel(x_hbm, wih_ref, w_ref, b_ref, out_ref, h_ref, c_ref,
+                       xbuf, in_sems, *, seq_len, hidden, block_n):
+    """Fused in-projection + recurrence, center-timestep output only.
+
+    For the last layer under center_only (both models decode only the
+    window center) the full [L, 2, H, N] output stream is pure waste: with
+    odd L both directions pass the center at t = L//2, so the kernel just
+    assigns the blocked output once and streams nothing."""
+    i = pl.program_id(0)
+    center = seq_len // 2
+
+    def _time(t, d):
+        return seq_len - 1 - t if d == 1 else t
+
+    def in_copy(t, slot):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[_time(t, d), :, pl.ds(i * block_n, block_n)],
+                xbuf.at[slot, d], in_sems.at[slot, d])
+            for d in (0, 1)
+        ]
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    for cp in in_copy(0, 0):
+        cp.start()
+
+    for t in range(seq_len):
+        slot = t % 2
+        if t + 1 < seq_len:
+            for cp in in_copy(t + 1, (t + 1) % 2):
+                cp.start()
+        for cp in in_copy(t, slot):
+            cp.wait()
+        gates = jax.lax.dot_general(
+            wih_ref[...], xbuf[slot],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + jax.lax.dot_general(
+            w_ref[...], h_ref[...].astype(w_ref.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + b_ref[...]
+        ig = jax.nn.sigmoid(gates[:, :hidden, :])
+        fg = jax.nn.sigmoid(gates[:, hidden: 2 * hidden, :])
+        gg = jnp.tanh(gates[:, 2 * hidden: 3 * hidden, :])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden:, :])
+        c = fg * c_ref[...] + ig * gg
+        h = og * jnp.tanh(c)
+        c_ref[...] = c
+        h_ref[...] = h
+        if t == center:
+            out_ref[...] = h.astype(out_ref.dtype)
+
+
+def _run_enc_stream(x_t, wih_t, w_t, b, *, seq_len, hidden, gate_dim,
+                    block_n, interpret, out_dtype):
+    """x_t [L, Dp, Npad], wih_t [2, 4H, Dp], w_t [2, 4H, H], b [2, 4H, 1]
+    -> hs [L, 2, H, Npad] in true time order."""
+    n_pad = x_t.shape[-1]
+    d_pad = x_t.shape[1]
+    grid = (n_pad // block_n,)
+    return pl.pallas_call(
+        functools.partial(_enc_stream_kernel, seq_len=seq_len, hidden=hidden,
+                          block_n=block_n),
+        out_shape=jax.ShapeDtypeStruct((seq_len, 2, hidden, n_pad),
+                                       out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((2, gate_dim, d_pad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, 1), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # h
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # c
+            pltpu.VMEM((2, 2, d_pad, block_n), x_t.dtype),       # in slabs
+            pltpu.VMEM((2, 2, hidden, block_n), out_dtype),      # out slabs
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(x_t, wih_t, w_t, b)
+
+
+def _run_enc_center(x_t, wih_t, w_t, b, *, seq_len, hidden, gate_dim,
+                    block_n, interpret):
+    """Like _run_enc_stream but emits only the center timestep:
+    [2, H, Npad] float32."""
+    n_pad = x_t.shape[-1]
+    d_pad = x_t.shape[1]
+    grid = (n_pad // block_n,)
+    return pl.pallas_call(
+        functools.partial(_enc_center_kernel, seq_len=seq_len, hidden=hidden,
+                          block_n=block_n),
+        out_shape=jax.ShapeDtypeStruct((2, hidden, n_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((2, gate_dim, d_pad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, 1), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, hidden, block_n), lambda i: (0, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # h
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # c
+            pltpu.VMEM((2, 2, d_pad, block_n), x_t.dtype),       # in slabs
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(x_t, wih_t, w_t, b)
+
+
 def _pick_block(n: int, block_n: int) -> int:
     if n < block_n:
         return max(128, 1 << (max(n - 1, 1)).bit_length())
@@ -457,11 +660,20 @@ def bilstm_encoder_pallas(
     block_n: int = 512,
     interpret: bool = False,
     center_only: bool = False,
+    fused: bool = True,
 ):
     """Full multi-layer BiLSTM encoder on the Pallas recurrence, staying in
     batch-last [L, feat, N] layout across layers: no reversal or transpose
     copies of the big activations (the kernel walks direction 1 backwards
     itself), inter-layer activations in bf16.
+
+    With fused=True (default) each layer runs the fused in-projection
+    kernel: the HBM stream is the D-wide layer input instead of the 4H-wide
+    precomputed projections, inter-layer outputs stream in bf16, and under
+    center_only the last layer emits only the window-center hidden state —
+    together ~5x less recurrence HBM traffic for the pileup model, which is
+    what bounds it (v5e measurement in ROADMAP #8). fused=False keeps the
+    original XLA-projection + streaming-xp path for A/B.
 
     Returns [N, L, 2H] float32, or [N, 2H] when center_only.
     """
@@ -473,20 +685,43 @@ def bilstm_encoder_pallas(
         x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, pad)))
 
     hs = None
-    for layer in layers:
-        w_ih = layer["w_ih"].astype(compute_dtype)   # [2, D, 4H]
-        b = layer["b"].astype(jnp.float32)
-        gate_dim = w_ih.shape[-1]
+    n_layers = len(layers)
+    for idx, layer in enumerate(layers):
+        gate_dim = layer["w_ih"].shape[-1]
         hidden = gate_dim // 4
-        # one MXU matmul for all timesteps, emitted directly batch-last
-        xp_t = jnp.einsum("ldn,zdk->lzkn", x_t, w_ih,
-                          preferred_element_type=jnp.float32)
-        xp_t = (xp_t + b[None, :, :, None]).astype(compute_dtype)
         w_t = jnp.transpose(layer["w_hh"], (0, 2, 1)).astype(compute_dtype)
-        hs = _run_recurrence(xp_t, w_t, seq_len=seq_len, hidden=hidden,
-                             gate_dim=gate_dim, block_n=block_n,
-                             reverse_dir1=True, interpret=interpret,
-                             out_dtype=jnp.float32)   # [L, 2, H, N] true time
+        last = idx == n_layers - 1
+
+        if fused:
+            d_in = x_t.shape[1]
+            d_pad = -(-d_in // 16) * 16       # bf16 sublane tile is 16
+            wih_t = jnp.transpose(layer["w_ih"], (0, 2, 1)).astype(
+                compute_dtype)                # [2, 4H, D]
+            if d_pad != d_in:
+                x_t = jnp.pad(x_t, ((0, 0), (0, d_pad - d_in), (0, 0)))
+                wih_t = jnp.pad(wih_t, ((0, 0), (0, 0), (0, d_pad - d_in)))
+            b = layer["b"].astype(jnp.float32)[:, :, None]   # [2, 4H, 1]
+            if last and center_only and seq_len % 2 == 1:
+                ctr = _run_enc_center(x_t, wih_t, w_t, b, seq_len=seq_len,
+                                      hidden=hidden, gate_dim=gate_dim,
+                                      block_n=block_n, interpret=interpret)
+                ctr = jnp.transpose(ctr.reshape(2 * hidden, -1), (1, 0))
+                return ctr[:n] if pad else ctr
+            hs = _run_enc_stream(
+                x_t, wih_t, w_t, b, seq_len=seq_len, hidden=hidden,
+                gate_dim=gate_dim, block_n=block_n, interpret=interpret,
+                out_dtype=jnp.float32 if last else compute_dtype)
+        else:
+            w_ih = layer["w_ih"].astype(compute_dtype)   # [2, D, 4H]
+            b = layer["b"].astype(jnp.float32)
+            # one MXU matmul for all timesteps, emitted directly batch-last
+            xp_t = jnp.einsum("ldn,zdk->lzkn", x_t, w_ih,
+                              preferred_element_type=jnp.float32)
+            xp_t = (xp_t + b[None, :, :, None]).astype(compute_dtype)
+            hs = _run_recurrence(xp_t, w_t, seq_len=seq_len, hidden=hidden,
+                                 gate_dim=gate_dim, block_n=block_n,
+                                 reverse_dir1=True, interpret=interpret,
+                                 out_dtype=jnp.float32)  # [L, 2, H, N]
         x_t = hs.reshape(seq_len, 2 * hidden, -1).astype(compute_dtype)
 
     hidden = hs.shape[2]

@@ -149,3 +149,25 @@ def test_pallas_train_step_grads_full_model():
     for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_pallas)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_encoder_fused_matches_unfused():
+    """Fused in-projection kernels vs the streaming-xp path (interpret).
+
+    Covers both output modes: full sequence (intermediate layers stream
+    bf16 in production; f32 here for exact comparison) and center-only
+    (the blocked single-write kernel)."""
+    from nanosnp_tpu.ops.pallas_lstm import bilstm_encoder_pallas
+
+    rng = np.random.default_rng(7)
+    layers = init_bilstm_params(jax.random.key(9), 18, 16, 2)
+    x = jnp.asarray(rng.standard_normal((12, 33, 18)), jnp.float32)
+    for center_only in (False, True):
+        want = bilstm_encoder_pallas(layers, x, compute_dtype=jnp.float32,
+                                     block_n=8, interpret=True,
+                                     center_only=center_only, fused=False)
+        got = bilstm_encoder_pallas(layers, x, compute_dtype=jnp.float32,
+                                    block_n=8, interpret=True,
+                                    center_only=center_only, fused=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
