@@ -122,7 +122,8 @@ class NativeBamExtractor:
         col_of = {int(p): i for i, p in enumerate(ext_positions)}
 
         out: Dict[str, List[Dict[str, np.ndarray]]] = {"pileup": [],
-                                                       "haplotype": []}
+                                                       "haplotype": [],
+                                                       "groups": groups}
         for g in groups:
             center = int(g[len(g) // 2])
             for view, pos_list in (

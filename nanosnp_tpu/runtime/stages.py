@@ -459,7 +459,10 @@ def stage_haplotype_features(
             mats = extractor(ctg, chunk, hf.pileup_flanking_size)
             if mats is None:
                 return None
-            return _pack_haplotype_shard(ctg, chunk, mats, hf)
+            # the extractor may drop coverage-failed groups; align the
+            # position columns with the groups it actually kept
+            return _pack_haplotype_shard(ctg, mats.get("groups", chunk),
+                                         mats, hf)
 
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
             for shard in ex.map(extract_one, chunks):
