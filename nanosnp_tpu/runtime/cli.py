@@ -171,6 +171,39 @@ def main(argv=None):
                         "dataset.py:100-106")
     p.add_argument("--batch-size", type=int, default=2000)
 
+    p = sub.add_parser("legacy-make-groups",
+                       help="legacy cat-model path: pileup VCF + BAM(s) -> "
+                            "per-contig edge/read-matrix bins (reference "
+                            "make_predict_groups.py)")
+    _add_common(p)
+    p.add_argument("--pileup-vcf", required=True)
+    p.add_argument("--bam", required=True,
+                   help="directory of {contig}.bam files, or one BAM used "
+                        "for every contig (a per-HP split from split-bam "
+                        "--by-tag in the dual-bin flow)")
+    p.add_argument("--contigs", nargs="*", default=None)
+    p.add_argument("--adjacent-size", type=int, default=5)
+    p.add_argument("--min-quality", type=float, default=15.0)
+    p.add_argument("--support-quality", type=float, default=19.0)
+    p.add_argument("--max-coverage", type=int, default=150)
+
+    p = sub.add_parser("legacy-predict",
+                       help="legacy CatModel inference over dual-tag bins "
+                            "(reference HaplotypeModel/predict.py)")
+    _add_common(p)
+    p.add_argument("--data-tag1", required=True, help="bin dir, HP tag 1")
+    p.add_argument("--data-tag2", required=True, help="bin dir, HP tag 2")
+    p.add_argument("--model", required=True, help=".npz/.ckpt CatModel params")
+    p.add_argument("--batch-size", type=int, default=1000)
+    p.add_argument("--max-depth", type=int, default=20)
+    p.add_argument("--min-depth", type=int, default=2)
+
+    p = sub.add_parser("legacy-heuristic",
+                       help="legacy non-NN homozygote caller over edge "
+                            "graphs (reference heuristic.py)")
+    _add_common(p)
+    p.add_argument("--data", required=True, help="legacy bin dir")
+
     p = sub.add_parser("evaluate-haplotype",
                        help="confusion/accuracy/macro-F1 of a haplotype "
                             "checkpoint on labeled shards (reference "
@@ -241,6 +274,12 @@ def main(argv=None):
         print(m)
         return 0
 
+    if args.cmd == "legacy-make-groups":
+        return _run_legacy_make_groups(args, cfg)
+    if args.cmd == "legacy-predict":
+        return _run_legacy_predict(args, cfg)
+    if args.cmd == "legacy-heuristic":
+        return _run_legacy_heuristic(args, cfg)
     if args.cmd == "evaluate-pileup":
         return _run_evaluate_pileup(args, cfg)
     if args.cmd == "evaluate-haplotype":
@@ -255,6 +294,124 @@ def main(argv=None):
         return _run_call(args, cfg)
 
     return 1
+
+
+def _legacy_bam_paths(bam_arg, contigs=None):
+    """Directory of {contig}.bam files, or one BAM mapped to every contig
+    in its header."""
+    if os.path.isdir(bam_arg):
+        return {f[:-4]: os.path.join(bam_arg, f)
+                for f in os.listdir(bam_arg) if f.endswith(".bam")}
+    from ..io.bam import BamFile
+
+    with BamFile(bam_arg) as bam:
+        names = [c for c, _ in bam.references()]
+    if contigs:
+        names = [c for c in names if c in contigs]
+    return {c: bam_arg for c in names}
+
+
+def _run_legacy_make_groups(args, cfg) -> int:
+    from ..legacy.bins import build_legacy_bins
+
+    written = build_legacy_bins(
+        args.pileup_vcf, _legacy_bam_paths(args.bam, args.contigs),
+        args.output, max_coverage=args.max_coverage,
+        quality_threshold=args.min_quality,
+        support_quality=args.support_quality,
+        adjacent_size=args.adjacent_size, contigs=args.contigs)
+    print({"contigs": len(written), "groups": sum(written.values())})
+    return 0
+
+
+def _align_legacy_bins(b1, b2, min_depth):
+    """PredictDataset position alignment (dataset.py:828-853): advancing
+    two position-sorted bins, keeping matches whose surrounding depth
+    reaches min_depth in both tags."""
+    import numpy as np
+
+    d1 = ((b1["surrounding_read_matrix"] != -2).sum(2) > 0).sum(1)
+    d2 = ((b2["surrounding_read_matrix"] != -2).sum(2) > 0).sum(1)
+    p1 = [int(p.split(":")[1]) for p in b1["position"]]
+    p2 = [int(p.split(":")[1]) for p in b2["position"]]
+    idx1, idx2 = [], []
+    k = j = 0
+    while k < len(p1) and j < len(p2):
+        if p1[k] == p2[j]:
+            if d1[k] >= min_depth and d2[j] >= min_depth:
+                idx1.append(k)
+                idx2.append(j)
+            k += 1
+            j += 1
+        elif p1[k] < p2[j]:
+            k += 1
+        else:
+            j += 1
+    return np.asarray(idx1, dtype=int), np.asarray(idx2, dtype=int)
+
+
+def _run_legacy_predict(args, cfg) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..decode.pileup_vcf import calculate_score
+    from ..legacy.bins import load_legacy_bin
+    from ..legacy.catmodel import build_g_images, catmodel_predict
+    from ..train.train_pileup import load_checkpoint
+
+    params, _ = load_checkpoint(args.model)
+    out_path = os.path.join(args.output, "legacy_calls.tsv")
+    n_out = 0
+    with open(out_path, "w") as fout:
+        names = sorted(set(os.listdir(args.data_tag1))
+                       & set(os.listdir(args.data_tag2)))
+        for name in names:
+            b1 = load_legacy_bin(os.path.join(args.data_tag1, name))
+            b2 = load_legacy_bin(os.path.join(args.data_tag2, name))
+            idx1, idx2 = _align_legacy_bins(b1, b2, args.min_depth)
+            if len(idx1) == 0:
+                continue
+            md = args.max_depth
+
+            def tag(b, idx, key):
+                return {"read": b[f"{key}read_matrix"][idx, :md],
+                        "baseq": b[f"{key}base_quality_matrix"][idx, :md],
+                        "mapq": b[f"{key}mapping_quality_matrix"][idx, :md]}
+
+            g0 = build_g_images(tag(b1, idx1, "surrounding_"),
+                                tag(b2, idx2, "surrounding_"), md)
+            g1 = build_g_images(tag(b1, idx1, ""), tag(b2, idx2, ""), md)
+            positions = b1["position"][idx1]
+            for s in range(0, len(positions), args.batch_size):
+                probs = np.asarray(catmodel_predict(
+                    params, jnp.asarray(g0[s:s + args.batch_size]),
+                    jnp.asarray(g1[s:s + args.batch_size])))
+                best = probs.argmax(1)
+                for pos, cls, pr in zip(positions[s:s + args.batch_size],
+                                        best, probs.max(1)):
+                    ctg, p = pos.split(":")
+                    fout.write(f"{ctg}\t{p}\t{C.GT21_LABELS[cls]}\t"
+                               f"{calculate_score(float(pr))}\n")
+                    n_out += 1
+    print({"sites": n_out, "output": out_path})
+    return 0
+
+
+def _run_legacy_heuristic(args, cfg) -> int:
+    from ..legacy.bins import load_legacy_bin
+    from ..legacy.heuristic import run_heuristic
+
+    out_path = os.path.join(args.output, "legacy_homozygous.txt")
+    n_out = 0
+    with open(out_path, "w") as fout:
+        for name in sorted(os.listdir(args.data)):
+            b = load_legacy_bin(os.path.join(args.data, name))
+            for pos in run_heuristic(b["edge_matrix"], list(b["position"])):
+                fout.write(pos + "\n")
+                n_out += 1
+    print({"homozygous": n_out, "output": out_path})
+    return 0
 
 
 def _run_evaluate_pileup(args, cfg) -> int:

@@ -1,0 +1,109 @@
+"""Legacy cat-model flow end to end through the CLI: tagged BAM ->
+split-bam --by-tag -> legacy-make-groups (per tag) -> legacy-predict
+(CatModel) + legacy-heuristic, bin round-trip included."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from bamgen import write_bam
+from diploid import diploid_reads, make_diploid
+from synth import random_genome
+from nanosnp_tpu.io.fasta import write_fasta
+from nanosnp_tpu.legacy.bins import load_legacy_bin, save_legacy_bin
+from nanosnp_tpu.runtime.cli import main as cli_main
+
+
+@pytest.fixture(scope="module")
+def legacy_world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("legacy")
+    rng = np.random.default_rng(404)
+    L = 30_000
+    genome = random_genome(rng, {"chrL": L})
+    write_fasta(str(tmp / "ref.fa"), genome)
+    truth, h1, h2 = make_diploid(rng, genome["chrL"], n_het=L // 120,
+                                 n_hom=L // 500, spacing=50)
+    reads = diploid_reads(rng, h1, h2, 0, n_reads=L * 25 // 250,
+                          read_len=250, err=0.04, tag_rate=1.0)
+    write_bam(str(tmp / "t.bam"), [("chrL", L)], reads)
+
+    # pileup VCF: every true het is a strong support; every 4th site is
+    # also a low-quality candidate needing the legacy model's second look
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+    for i, t in enumerate(sorted(truth, key=lambda t: t.pos1)):
+        if t.hom:
+            continue
+        qual = 8.0 if i % 4 == 0 else 30.0
+        lines.append(f"chrL\t{t.pos1}\t.\t{t.ref}\t{t.alt}\t{qual}\t.\t."
+                     f"\tGT:GQ\t0/1:{int(qual)}")
+    (tmp / "pileup.vcf").write_text("\n".join(lines) + "\n")
+    return tmp
+
+
+def test_legacy_flow_end_to_end(legacy_world, tmp_path):
+    tmp = legacy_world
+    split_dir = tmp_path / "split"
+    assert cli_main(["split-bam", "--bam", str(tmp / "t.bam"),
+                     "-o", str(split_dir), "--by-tag"]) == 0
+    assert (split_dir / "h1.bam").exists() and (split_dir / "h2.bam").exists()
+
+    bins1 = tmp_path / "bins_tag1"
+    bins2 = tmp_path / "bins_tag2"
+    for tag_bam, out in ((split_dir / "h1.bam", bins1),
+                         (split_dir / "h2.bam", bins2)):
+        assert cli_main(["legacy-make-groups",
+                         "--pileup-vcf", str(tmp / "pileup.vcf"),
+                         "--bam", str(tag_bam), "-o", str(out)]) == 0
+    assert (bins1 / "chrL.bin").exists() and (bins2 / "chrL.bin").exists()
+
+    b = load_legacy_bin(str(bins1 / "chrL.bin"))
+    n = len(b["position"])
+    assert n > 0
+    assert b["edge_matrix"].shape == (n, 25, 10)
+    assert b["pair_route"].shape == (n, 25, 10)
+    assert b["read_matrix"].shape[0] == n and b["read_matrix"].shape[2] == 11
+    assert b["surrounding_read_matrix"].shape[2] == 11
+    # every group's center column must have observations in each kept row
+    mid = b["read_matrix"][:, :, 5]
+    real_rows = mid != -2
+    assert (np.where(real_rows, mid != 0, True)).all()
+
+    # round-trip identity
+    rt = tmp_path / "rt.bin"
+    arrays = {k: list(v) for k, v in b.items()}
+    arrays["position"] = [str(p) for p in b["position"]]
+    arrays["group_positions"] = [list(map(str, g))
+                                 for g in b["group_positions"]]
+    save_legacy_bin(str(rt), arrays)
+    b2 = load_legacy_bin(str(rt))
+    np.testing.assert_array_equal(b["edge_matrix"], b2["edge_matrix"])
+    np.testing.assert_array_equal(b["read_matrix"], b2["read_matrix"])
+
+    # CatModel inference over the dual bins
+    from nanosnp_tpu.legacy.catmodel import init_catmodel_params
+    from nanosnp_tpu.train.train_pileup import save_params_npz
+
+    model = tmp_path / "cat.npz"
+    save_params_npz(str(model), init_catmodel_params(jax.random.key(2)))
+    out_dir = tmp_path / "pred"
+    assert cli_main(["legacy-predict", "--data-tag1", str(bins1),
+                     "--data-tag2", str(bins2), "--model", str(model),
+                     "-o", str(out_dir)]) == 0
+    calls = (out_dir / "legacy_calls.tsv").read_text().strip().splitlines()
+    assert len(calls) > 0
+    for row in calls[:5]:
+        ctg, pos, gt, qual = row.split("\t")
+        assert ctg == "chrL" and int(pos) > 0 and len(gt) == 2
+        assert float(qual) >= 0
+
+    # heuristic caller over the same bins
+    h_dir = tmp_path / "heur"
+    assert cli_main(["legacy-heuristic", "--data", str(bins1),
+                     "-o", str(h_dir)]) == 0
+    homo = (h_dir / "legacy_homozygous.txt").read_text().splitlines()
+    # a per-HP bin is (almost) all homozygous along its haplotype: the
+    # heuristic must call a clear majority of sites homo
+    assert len(homo) > 0.5 * n
