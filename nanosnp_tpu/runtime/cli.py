@@ -204,6 +204,22 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--data", required=True, help="legacy bin dir")
 
+    p = sub.add_parser("legacy-train",
+                       help="train the legacy CatModel on dual-tag bins + "
+                            "a truth VCF (reference HaplotypeModel/train.py)")
+    _add_common(p)
+    p.add_argument("--data-tag1", required=True)
+    p.add_argument("--data-tag2", required=True)
+    p.add_argument("--ref", required=True)
+    p.add_argument("--truth-vcf", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--max-depth", type=int, default=20)
+    p.add_argument("--min-depth", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+
     p = sub.add_parser("evaluate-haplotype",
                        help="confusion/accuracy/macro-F1 of a haplotype "
                             "checkpoint on labeled shards (reference "
@@ -280,6 +296,8 @@ def main(argv=None):
         return _run_legacy_predict(args, cfg)
     if args.cmd == "legacy-heuristic":
         return _run_legacy_heuristic(args, cfg)
+    if args.cmd == "legacy-train":
+        return _run_legacy_train(args, cfg)
     if args.cmd == "evaluate-pileup":
         return _run_evaluate_pileup(args, cfg)
     if args.cmd == "evaluate-haplotype":
@@ -395,6 +413,84 @@ def _run_legacy_predict(args, cfg) -> int:
                                f"{calculate_score(float(pr))}\n")
                     n_out += 1
     print({"sites": n_out, "output": out_path})
+    return 0
+
+
+def _run_legacy_train(args, cfg) -> int:
+    import numpy as np
+    import jax
+
+    from ..io.fasta import FastaReference
+    from ..legacy.bins import load_legacy_bin
+    from ..legacy.catmodel import build_g_images, init_catmodel_params
+    from ..legacy.train import select_training_sites, train_catmodel
+    from ..train import labels as L
+    from ..train.data import attach_haplotype_labels
+    from ..train.train_pileup import save_params_npz
+
+    ref = FastaReference(args.ref)
+    contig_seqs = {c: ref.contig(c) for c in ref.names}
+    with open(args.bed) as f:
+        bed = list(L.parse_bed(f))
+    with open(args.truth_vcf) as f:
+        truth = L.truth_arrays({c: len(s) for c, s in contig_seqs.items()},
+                               contig_seqs, bed, f)
+
+    md = args.max_depth
+    datasets = []
+    names = sorted(set(os.listdir(args.data_tag1))
+                   & set(os.listdir(args.data_tag2)))
+    for name in names:
+        b1 = load_legacy_bin(os.path.join(args.data_tag1, name))
+        b2 = load_legacy_bin(os.path.join(args.data_tag2, name))
+        idx1, idx2 = _align_legacy_bins(b1, b2, args.min_depth)
+        if len(idx1) == 0:
+            continue
+        ctg = b1["position"][idx1[0]].split(":")[0]
+        if ctg not in truth:
+            continue
+        centers = np.array([int(p.split(":")[1])
+                            for p in b1["position"][idx1]], dtype=np.int64)
+        labels = attach_haplotype_labels(centers, truth[ctg])
+
+        def tag(b, idx, key):
+            return {"read": b[f"{key}read_matrix"][idx, :md],
+                    "baseq": b[f"{key}base_quality_matrix"][idx, :md],
+                    "mapq": b[f"{key}mapping_quality_matrix"][idx, :md]}
+
+        g0 = build_g_images(tag(b1, idx1, "surrounding_"),
+                            tag(b2, idx2, "surrounding_"), md)
+        g1 = build_g_images(tag(b1, idx1, ""), tag(b2, idx2, ""), md)
+        datasets.append((g0, g1, labels))
+    if not datasets:
+        print({"error": "no aligned training sites"})
+        return 1
+
+    g0 = np.concatenate([d[0] for d in datasets])
+    g1 = np.concatenate([d[1] for d in datasets])
+    labels = np.concatenate([d[2] for d in datasets])
+    rng = np.random.default_rng(args.seed)
+    params = init_catmodel_params(jax.random.key(args.seed))
+    for epoch in range(args.epochs):
+        idx = select_training_sites(labels, rng)
+        if len(idx) == 0:
+            print({"error": "no confident SNV-labeled sites"})
+            return 1
+
+        def batches():
+            for s in range(0, len(idx) - args.batch_size + 1,
+                           args.batch_size):
+                sel = idx[s:s + args.batch_size]
+                yield g0[sel], g1[sel], labels[sel, 1]
+
+        params, loss, steps = train_catmodel(
+            params, batches(), lr=args.lr, seed=args.seed + epoch)
+        print({"epoch": epoch + 1, "loss": round(loss, 4),
+               "steps": steps, "sites": len(idx)})
+        save_params_npz(os.path.join(args.output,
+                                     f"catmodel_epoch{epoch + 1}.npz"),
+                        params)
+    save_params_npz(os.path.join(args.output, "catmodel.npz"), params)
     return 0
 
 

@@ -107,3 +107,84 @@ def test_legacy_flow_end_to_end(legacy_world, tmp_path):
     # a per-HP bin is (almost) all homozygous along its haplotype: the
     # heuristic must call a clear majority of sites homo
     assert len(homo) > 0.5 * n
+
+
+def test_legacy_train_end_to_end(legacy_world, tmp_path):
+    """legacy-train: dual bins + truth -> loss decreases and a usable
+    checkpoint lands (reference HaplotypeModel/train.py role)."""
+    tmp = legacy_world
+    # reuse the predict-flow bins (rebuilt here to keep fixtures simple)
+    split_dir = tmp_path / "split"
+    cli_main(["split-bam", "--bam", str(tmp / "t.bam"),
+              "-o", str(split_dir), "--by-tag"])
+    bins1, bins2 = tmp_path / "b1", tmp_path / "b2"
+    for tag_bam, out in ((split_dir / "h1.bam", bins1),
+                         (split_dir / "h2.bam", bins2)):
+        cli_main(["legacy-make-groups", "--pileup-vcf",
+                  str(tmp / "pileup.vcf"), "--bam", str(tag_bam),
+                  "-o", str(out)])
+
+    # truth VCF + confident bed over the whole contig
+    truth_lines = ["##fileformat=VCFv4.2",
+                   "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+    for t in sorted(legacy_world_truth(tmp), key=lambda t: t.pos1):
+        gt = "1/1" if t.hom else "0/1"
+        truth_lines.append(
+            f"chrL\t{t.pos1}\t.\t{t.ref}\t{t.alt}\t50\tPASS\t.\tGT\t{gt}")
+    (tmp_path / "truth.vcf").write_text("\n".join(truth_lines) + "\n")
+    (tmp_path / "conf.bed").write_text("chrL\t0\t30000\n")
+
+    out_dir = tmp_path / "train_out"
+    rc = cli_main(["legacy-train", "--data-tag1", str(bins1),
+                   "--data-tag2", str(bins2), "--ref", str(tmp / "ref.fa"),
+                   "--truth-vcf", str(tmp_path / "truth.vcf"),
+                   "--bed", str(tmp_path / "conf.bed"),
+                   "--epochs", "1", "--batch-size", "16",
+                   "-o", str(out_dir)])
+    assert rc == 0
+    assert (out_dir / "catmodel.npz").exists()
+
+    from nanosnp_tpu.train.train_pileup import load_checkpoint
+    params, _ = load_checkpoint(str(out_dir / "catmodel.npz"))
+    assert "res_blocks" in params and len(params["res_blocks"]) == 6
+
+
+def legacy_world_truth(tmp):
+    """The fixture's diploid truth, regenerated deterministically."""
+    rng = np.random.default_rng(404)
+    L = 30_000
+    genome = random_genome(rng, {"chrL": L})
+    truth, _, _ = make_diploid(rng, genome["chrL"], n_het=L // 120,
+                               n_hom=L // 500, spacing=50)
+    return truth
+
+
+def test_cal_label_matches_reference_table():
+    from nanosnp_tpu.legacy.train import cal_label
+
+    # reference dataset.py:26-57 spot checks + symmetry + coverage
+    assert cal_label(0, 0) == 0 and cal_label(1, 1) == 4
+    assert cal_label(0, 4) == 11 and cal_label(4, 0) == 11
+    assert cal_label(3, 4) == 14 and cal_label(2, 3) == 8
+    seen = set()
+    for a in range(5):
+        for b in range(5):
+            v = cal_label(a, b)
+            assert v == cal_label(b, a)
+            seen.add(v)
+    assert seen == set(range(15))
+
+
+def test_select_training_sites_balance():
+    from nanosnp_tpu.legacy.train import select_training_sites
+
+    rng = np.random.default_rng(1)
+    n = 400
+    labels = np.zeros((n, 3), np.int64)
+    labels[:, 0] = 1
+    labels[:, 1] = rng.integers(0, 10, n)
+    labels[:50, 2] = 1          # 50 variants
+    labels[50:, 2] = -1         # 350 non-variants
+    idx = select_training_sites(labels, rng)
+    assert len(idx) == 100      # variants + downsampled non-variants
+    assert (labels[idx, 2] == 1).sum() == 50
