@@ -92,8 +92,35 @@ def call_homozygous(edge_matrix: np.ndarray) -> np.ndarray:
     return (fwd[:, 0] == fwd[:, 1]) | (bwd[:, 0] == bwd[:, 1])
 
 
+def call_homozygous_pair_route(pair_route: np.ndarray) -> np.ndarray:
+    """Pair-route variant (heuristic_pair_route.py:17-61): per column the
+    two heaviest source bases each vote their argmax center target;
+    homozygous when agreeing columns are at least half. [N, 25, P-1] ->
+    [N] bool."""
+    pair_route = np.asarray(pair_route, dtype=np.float64)
+    if len(pair_route) == 0:
+        return np.zeros((0,), dtype=bool)
+    n, _, links = pair_route.shape
+    rows16 = np.array([s * 5 + t for s in range(4) for t in range(4)])
+    v = pair_route[:, rows16, :].reshape(n, 4, 4, links)
+    w = v.max(axis=2)                          # [N, 4, links] per-source best
+    tgt = v.argmax(axis=2)                     # that edge's center base
+    s0 = w.argmax(axis=1)                      # heaviest source per column
+    masked = w.copy()
+    np.put_along_axis(masked, s0[:, None, :], -np.inf, axis=1)
+    s1 = masked.argmax(axis=1)
+    a1 = np.take_along_axis(tgt, s0[:, None, :], axis=1)[:, 0, :]
+    a2 = np.take_along_axis(tgt, s1[:, None, :], axis=1)[:, 0, :]
+    homo_cols = (a1 == a2).sum(axis=1)
+    return homo_cols * 2 >= links
+
+
 def run_heuristic(edge_matrix: np.ndarray,
-                  positions: Sequence[str]) -> List[str]:
-    """Reference Run() core: emit the positions called homozygous."""
-    homo = call_homozygous(edge_matrix)
+                  positions: Sequence[str],
+                  *, pair_route: bool = False) -> List[str]:
+    """Reference Run() core: emit the positions called homozygous. With
+    pair_route=True the input is the pair-route matrix and the
+    heuristic_pair_route.py voting rule applies."""
+    homo = (call_homozygous_pair_route(edge_matrix) if pair_route
+            else call_homozygous(edge_matrix))
     return [p for p, h in zip(positions, homo) if h]

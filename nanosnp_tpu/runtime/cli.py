@@ -203,6 +203,10 @@ def main(argv=None):
                             "graphs (reference heuristic.py)")
     _add_common(p)
     p.add_argument("--data", required=True, help="legacy bin dir")
+    p.add_argument("--pair-route", action="store_true",
+                   help="use the pair-route voting rule "
+                        "(heuristic_pair_route.py) instead of the two-path "
+                        "walk")
 
     p = sub.add_parser("legacy-train",
                        help="train the legacy CatModel on dual-tag bins + "
@@ -503,7 +507,9 @@ def _run_legacy_heuristic(args, cfg) -> int:
     with open(out_path, "w") as fout:
         for name in sorted(os.listdir(args.data)):
             b = load_legacy_bin(os.path.join(args.data, name))
-            for pos in run_heuristic(b["edge_matrix"], list(b["position"])):
+            mat = b["pair_route"] if args.pair_route else b["edge_matrix"]
+            for pos in run_heuristic(mat, list(b["position"]),
+                                     pair_route=args.pair_route):
                 fout.write(pos + "\n")
                 n_out += 1
     print({"homozygous": n_out, "output": out_path})

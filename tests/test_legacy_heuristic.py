@@ -108,3 +108,49 @@ def test_run_heuristic_emits_positions():
     het = _path_matrix([flank] * 10)
     out = run_heuristic(np.stack([homo, het]), ["chr1:100", "chr1:200"])
     assert out == ["chr1:100"]
+
+
+def _pair_route_oracle(mat):
+    """Scalar restatement of heuristic_pair_route.py:28-61."""
+    links = mat.shape[1]
+    homo = het = 0
+    for j in range(links):
+        per_source = []
+        for s in range(4):
+            vals = [mat[s * 5 + t, j] for t in range(4)]
+            best_t = int(np.argmax(vals))
+            per_source.append((vals[best_t], best_t))
+        order = sorted(range(4), key=lambda s: (-per_source[s][0], s))
+        a1 = per_source[order[0]][1]
+        a2 = per_source[order[1]][1]
+        if a1 == a2:
+            homo += 1
+        else:
+            het += 1
+    return homo >= het
+
+
+def test_pair_route_matches_scalar_oracle_fuzz():
+    from nanosnp_tpu.legacy.heuristic import call_homozygous_pair_route
+
+    rng = np.random.default_rng(41)
+    mats = []
+    for _ in range(80):
+        m = rng.permutation(25 * 10).reshape(25, 10).astype(np.float64)
+        m += rng.random((25, 10))  # tie-free
+        mats.append(m)
+    mats = np.stack(mats)
+    got = call_homozygous_pair_route(mats)
+    want = np.array([_pair_route_oracle(m) for m in mats])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pair_route_constructed():
+    from nanosnp_tpu.legacy.heuristic import call_homozygous_pair_route
+
+    # both heavy sources (A and C) vote center base G in every column
+    agree = _path_matrix([[(0, 2, 9.0), (1, 2, 8.0), (3, 1, 1.0)]] * 10)
+    # heavy sources vote different centers everywhere
+    split = _path_matrix([[(0, 0, 9.0), (1, 1, 8.0)]] * 10)
+    got = call_homozygous_pair_route(np.stack([agree, split]))
+    assert got[0] and not got[1]
