@@ -478,6 +478,41 @@ def bench_torch_cpu() -> float:
     return n / dt
 
 
+def bench_catmodel():
+    """Legacy CatModel (ResCRNN + percentage RNN) inference sites/s —
+    the secondary model family (SURVEY 2.6), conv-dominant."""
+    import jax
+    import jax.numpy as jnp
+
+    from nanosnp_tpu.legacy.catmodel import (catmodel_forward,
+                                             init_catmodel_params)
+    from nanosnp_tpu.ops.pallas_lstm import pallas_supported
+
+    use_pallas = pallas_supported()
+    n, md = 2048, 20
+    params = init_catmodel_params(jax.random.key(0))
+    rng = np.random.default_rng(2)
+    g0 = jnp.asarray(rng.choice([-2., -1., 0., 1., 2., 3., 4.],
+                                (n, 2 * md, 11, 5)), jnp.float32)
+    g1 = jnp.asarray(rng.choice([-2., -1., 0., 1., 2., 3., 4.],
+                                (n, 2 * md, 11, 5)), jnp.float32)
+
+    @jax.jit
+    def many(p, g0, g1, iters):
+        def body(_, carry):
+            g0, acc = carry
+            logits, _ = catmodel_forward(p, g0 + acc * 1e-3, g1,
+                                         compute_dtype=jnp.bfloat16,
+                                         use_pallas=use_pallas)
+            return (g0, logits.mean())
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (g0, jnp.float32(0.0)))
+        return acc
+
+    rate = _chained_rate(many, params, (g0, g1), n, iters=5)
+    return {"sites_per_s": round(rate, 1), "batch": n}
+
+
 def main():
     extra = {}
     pile = bench_pileup_model()
@@ -493,6 +528,13 @@ def main():
         extra["phaser"] = bench_phaser()
     except Exception as e:
         extra["phaser"] = {"error": str(e)[:300]}
+    if os.environ.get("NSP_BENCH_CATMODEL", "0") == "1":
+        # opt-in: the conv+BN+scan graph takes >10 min of remote compile
+        # through the relay service on first run (secondary model family)
+        try:
+            extra["catmodel"] = bench_catmodel()
+        except Exception as e:
+            extra["catmodel"] = {"error": str(e)[:300]}
     if os.environ.get("NSP_BENCH_SCALING", "1") != "0":
         extra["scaling"] = bench_scaling_2proc()
     try:

@@ -137,11 +137,14 @@ def _resblock(x, p, train):
     return jax.nn.relu(y), {**p, "bn1": bn1, "bn2": bn2}
 
 
-def _bilstm_proj(layers, proj, x_lnc, compute_dtype, dropout=0.0, rng=None):
+def _bilstm_proj(layers, proj, x_lnc, compute_dtype, dropout=0.0, rng=None,
+                 use_pallas=False, pallas_interpret=False):
     """crnn.BidirectionalLSTM / model.RNN: x [L, N, C] -> [L, N, out]."""
     x = jnp.transpose(x_lnc, (1, 0, 2))                      # [N, L, C]
     enc = bilstm_encoder(layers, x, dropout=dropout, dropout_rng=rng,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         use_pallas=use_pallas and rng is None,
+                         pallas_interpret=pallas_interpret)
     out = linear(proj, enc, compute_dtype)                   # [N, L, out]
     return jnp.transpose(out, (1, 0, 2))
 
@@ -154,8 +157,12 @@ def catmodel_forward(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, Params]:
-    """Returns (gt logits [N, classes], params-with-updated-BN-stats)."""
+    """Returns (gt logits [N, classes], params-with-updated-BN-stats).
+    use_pallas switches the three BiLSTM stacks to the fused TPU kernels
+    (inference only — the scan path serves training)."""
     md = g0.shape[1] // 2
 
     # ---- percentage branch (model.py:263-281)
@@ -172,7 +179,9 @@ def catmodel_forward(
         rng_p, rng_c = jax.random.split(dropout_rng)
     p_out = _bilstm_proj(params["percentage_rnn"], params["percentage_proj"],
                          pct, compute_dtype,
-                         dropout=0.5 if train else 0.0, rng=rng_p)
+                         dropout=0.5 if train else 0.0, rng=rng_p,
+                         use_pallas=use_pallas,
+                         pallas_interpret=pallas_interpret)
     p_ctr = p_out[p_out.shape[0] // 2]                       # [N, 256]
 
     # ---- spatial ResCRNN branch (model.py:300, crnn.py:95-190)
@@ -191,9 +200,11 @@ def catmodel_forward(
                          f"(input depth must be 2*20 rows)")
     seq = jnp.transpose(x[:, :, 0, :], (2, 0, 1))            # [11, N, 256]
     seq = _bilstm_proj(params["crnn_lstm1"], params["crnn_proj1"], seq,
-                       compute_dtype)
+                       compute_dtype, use_pallas=use_pallas,
+                       pallas_interpret=pallas_interpret)
     seq = _bilstm_proj(params["crnn_lstm2"], params["crnn_proj2"], seq,
-                       compute_dtype)
+                       compute_dtype, use_pallas=use_pallas,
+                       pallas_interpret=pallas_interpret)
     s_ctr = seq[seq.shape[0] // 2]                           # [N, 256]
 
     logits = linear(params["out"],
@@ -202,12 +213,14 @@ def catmodel_forward(
 
 
 def catmodel_predict(params: Params, g0, g1, g2=None, g3=None,
-                     compute_dtype=jnp.float32) -> jnp.ndarray:
+                     compute_dtype=jnp.float32,
+                     use_pallas: bool = False) -> jnp.ndarray:
     """Softmax class probabilities; g2/g3 (edge / pair-route tensors) are
     accepted for API parity and unused, exactly like the reference's
     active branch (model.py:239-244 predict ignores them)."""
     logits, _ = catmodel_forward(params, g0, g1, train=False,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 use_pallas=use_pallas)
     return jax.nn.softmax(logits, axis=-1)
 
 

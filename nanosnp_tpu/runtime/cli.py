@@ -380,8 +380,10 @@ def _run_legacy_predict(args, cfg) -> int:
     from ..decode.pileup_vcf import calculate_score
     from ..legacy.bins import load_legacy_bin
     from ..legacy.catmodel import build_g_images, catmodel_predict
+    from ..ops.pallas_lstm import pallas_supported
     from ..train.train_pileup import load_checkpoint
 
+    use_pallas = pallas_supported()
     params, _ = load_checkpoint(args.model)
     out_path = os.path.join(args.output, "legacy_calls.tsv")
     n_out = 0
@@ -408,7 +410,8 @@ def _run_legacy_predict(args, cfg) -> int:
             for s in range(0, len(positions), args.batch_size):
                 probs = np.asarray(catmodel_predict(
                     params, jnp.asarray(g0[s:s + args.batch_size]),
-                    jnp.asarray(g1[s:s + args.batch_size])))
+                    jnp.asarray(g1[s:s + args.batch_size]),
+                    use_pallas=use_pallas))
                 best = probs.argmax(1)
                 for pos, cls, pr in zip(positions[s:s + args.batch_size],
                                         best, probs.max(1)):

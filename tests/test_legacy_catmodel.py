@@ -108,3 +108,17 @@ def test_build_g_images_layout():
     assert (img[:, :20, :, 4] == 1).all() and (img[:, 20:, :, 4] == 2).all()
     # mask channel: real rows 1, padded rows 0 in tag1; tag2 all pad
     assert (img[:, :12, :, 3] == 1).all() and (img[:, 20:, :, 3] == 0).all()
+
+
+def test_catmodel_pallas_path_matches_scan_interpret():
+    """use_pallas (fused kernels, interpret mode on CPU) must reproduce
+    the scan path — this is the TPU inference configuration."""
+    rng = np.random.default_rng(29)
+    params = init_catmodel_params(jax.random.key(5))
+    g0, g1 = _rand_inputs(rng, n=4)
+    want = np.asarray(catmodel_predict(params, jnp.asarray(g0),
+                                       jnp.asarray(g1)))
+    got, _ = catmodel_forward(params, jnp.asarray(g0), jnp.asarray(g1),
+                              use_pallas=True, pallas_interpret=True)
+    got = np.asarray(jax.nn.softmax(got, axis=-1))
+    np.testing.assert_allclose(got, want, atol=2e-5)
