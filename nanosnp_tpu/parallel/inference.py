@@ -41,6 +41,21 @@ class BatchedPredictor:
         # shardings are inferred from operand placement
         self._fn = jax.jit(predict_fn)
 
+    def update_params(self, params) -> None:
+        """Swap the weights without invalidating the compiled program
+        (shapes/dtypes must match the originals)."""
+        self.params = jax.device_put(params, self.param_sharding)
+
+    def apply(self, *arrays):
+        """One exactly-batch-sized step, returning the raw device outputs
+        WITHOUT fetching to host. For caller-managed pipelines that chain
+        device programs (e.g. s5 featurize -> model) where fetching the
+        intermediate would round-trip the relay link."""
+        chunks = [jax.device_put(jnp.asarray(a), self.data_sharding)
+                  for a in arrays]
+        res = self._fn(self.params, *chunks)
+        return res if isinstance(res, (tuple, list)) else (res,)
+
     def run(self, *arrays: np.ndarray) -> List[np.ndarray]:
         """arrays: host arrays with common leading dim N. Returns outputs
         with the padding stripped, concatenated over all batches.

@@ -33,10 +33,12 @@ def _enable_compilation_cache():
     try:
         import jax
 
-        cache_dir = os.environ.get(
-            "NSP_JAX_CACHE", os.path.expanduser("~/.cache/nanosnp_jax"))
-        if not cache_dir or cache_dir == "0":
+        default_dir = os.path.expanduser("~/.cache/nanosnp_jax")
+        cache_dir = os.environ.get("NSP_JAX_CACHE", default_dir)
+        if not cache_dir or cache_dir.lower() in ("0", "false", "no", "off"):
             return
+        if cache_dir.lower() in ("1", "true", "yes", "on"):
+            cache_dir = default_dir
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -224,6 +226,41 @@ def main(argv=None):
     p.add_argument("--min-depth", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
 
+    p = sub.add_parser("legacy-eval",
+                       help="legacy CatModel accuracy vs truth labels over "
+                            "dual-tag bins (reference HaplotypeModel/eval.py)")
+    _add_common(p)
+    p.add_argument("--data-tag1", required=True)
+    p.add_argument("--data-tag2", required=True)
+    p.add_argument("--model", required=True, help=".npz CatModel params")
+    p.add_argument("--ref", required=True)
+    p.add_argument("--truth-vcf", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--batch-size", type=int, default=1000)
+    p.add_argument("--max-depth", type=int, default=20)
+    p.add_argument("--min-depth", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("legacy-filter-labels",
+                       help="flag label-noise sites where both tags' read "
+                            "consensus contradicts the truth label "
+                            "(reference filter_catmodel_label.py)")
+    _add_common(p)
+    p.add_argument("--data-tag1", required=True)
+    p.add_argument("--data-tag2", required=True)
+    p.add_argument("--ref", required=True)
+    p.add_argument("--truth-vcf", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--max-depth", type=int, default=20)
+    p.add_argument("--min-depth", type=int, default=5)
+    p.add_argument("--threshold", type=float, default=0.70)
+    p.add_argument("--center-col", type=int, default=None,
+                   help="het-matrix column for the consensus check; "
+                        "default = true center (adjacent_size). The "
+                        "reference tool hardcodes 2 "
+                        "(filter_catmodel_label.py:233-238) — pass "
+                        "--center-col 2 for bit-parity with it")
+
     p = sub.add_parser("evaluate-haplotype",
                        help="confusion/accuracy/macro-F1 of a haplotype "
                             "checkpoint on labeled shards (reference "
@@ -302,6 +339,10 @@ def main(argv=None):
         return _run_legacy_heuristic(args, cfg)
     if args.cmd == "legacy-train":
         return _run_legacy_train(args, cfg)
+    if args.cmd == "legacy-eval":
+        return _run_legacy_eval(args, cfg)
+    if args.cmd == "legacy-filter-labels":
+        return _run_legacy_filter_labels(args, cfg)
     if args.cmd == "evaluate-pileup":
         return _run_evaluate_pileup(args, cfg)
     if args.cmd == "evaluate-haplotype":
@@ -423,17 +464,18 @@ def _run_legacy_predict(args, cfg) -> int:
     return 0
 
 
-def _run_legacy_train(args, cfg) -> int:
+def _legacy_labeled_bins(args):
+    """Shared assembly for the legacy labeled dual-tag commands: align each
+    bin pair, join truth labels at the group centers (the reference reads a
+    stored `labels` dataset written by make_train_groups; our labels come
+    from the same truth-VCF/BED join, train/labels.py), yield
+    (name, b1, b2, idx1, idx2, ctg, centers, labels)."""
     import numpy as np
-    import jax
 
     from ..io.fasta import FastaReference
     from ..legacy.bins import load_legacy_bin
-    from ..legacy.catmodel import build_g_images, init_catmodel_params
-    from ..legacy.train import select_training_sites, train_catmodel
     from ..train import labels as L
     from ..train.data import attach_haplotype_labels
-    from ..train.train_pileup import save_params_npz
 
     ref = FastaReference(args.ref)
     contig_seqs = {c: ref.contig(c) for c in ref.names}
@@ -443,8 +485,6 @@ def _run_legacy_train(args, cfg) -> int:
         truth = L.truth_arrays({c: len(s) for c, s in contig_seqs.items()},
                                contig_seqs, bed, f)
 
-    md = args.max_depth
-    datasets = []
     names = sorted(set(os.listdir(args.data_tag1))
                    & set(os.listdir(args.data_tag2)))
     for name in names:
@@ -459,15 +499,32 @@ def _run_legacy_train(args, cfg) -> int:
         centers = np.array([int(p.split(":")[1])
                             for p in b1["position"][idx1]], dtype=np.int64)
         labels = attach_haplotype_labels(centers, truth[ctg])
+        yield name, b1, b2, idx1, idx2, ctg, centers, labels
 
-        def tag(b, idx, key):
-            return {"read": b[f"{key}read_matrix"][idx, :md],
-                    "baseq": b[f"{key}base_quality_matrix"][idx, :md],
-                    "mapq": b[f"{key}mapping_quality_matrix"][idx, :md]}
 
-        g0 = build_g_images(tag(b1, idx1, "surrounding_"),
-                            tag(b2, idx2, "surrounding_"), md)
-        g1 = build_g_images(tag(b1, idx1, ""), tag(b2, idx2, ""), md)
+def _legacy_tag_slices(b, idx, md, key=""):
+    return {"read": b[f"{key}read_matrix"][idx, :md],
+            "baseq": b[f"{key}base_quality_matrix"][idx, :md],
+            "mapq": b[f"{key}mapping_quality_matrix"][idx, :md]}
+
+
+def _run_legacy_train(args, cfg) -> int:
+    import numpy as np
+    import jax
+
+    from ..legacy.catmodel import build_g_images, init_catmodel_params
+    from ..legacy.train import select_training_sites, train_catmodel
+    from ..train.train_pileup import save_params_npz
+
+    md = args.max_depth
+    datasets = []
+    for (_name, b1, b2, idx1, idx2, _ctg, _centers,
+         labels) in _legacy_labeled_bins(args):
+        g0 = build_g_images(_legacy_tag_slices(b1, idx1, md, "surrounding_"),
+                            _legacy_tag_slices(b2, idx2, md, "surrounding_"),
+                            md)
+        g1 = build_g_images(_legacy_tag_slices(b1, idx1, md),
+                            _legacy_tag_slices(b2, idx2, md), md)
         datasets.append((g0, g1, labels))
     if not datasets:
         print({"error": "no aligned training sites"})
@@ -498,6 +555,100 @@ def _run_legacy_train(args, cfg) -> int:
                                      f"catmodel_epoch{epoch + 1}.npz"),
                         params)
     save_params_npz(os.path.join(args.output, "catmodel.npz"), params)
+    return 0
+
+
+def _run_legacy_eval(args, cfg) -> int:
+    """Reference HaplotypeModel/eval.py:29-83: CatModel predictions vs
+    truth labels over labeled dual-tag bins; TSV rows
+    `ctg pos truth pred qual -/False` plus an accuracy line. Site filter =
+    the reference's confident-variant + downsampled-nonvariant selection
+    (dataset.py:552-561 via select_training_sites)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..decode.pileup_vcf import calculate_score
+    from ..legacy.catmodel import build_g_images, catmodel_predict
+    from ..legacy.train import select_training_sites
+    from ..ops.pallas_lstm import pallas_supported
+    from ..train.train_pileup import load_checkpoint
+
+    use_pallas = pallas_supported()
+    params, _ = load_checkpoint(args.model)
+    rng = np.random.default_rng(args.seed)
+    md = args.max_depth
+    out_path = os.path.join(args.output, "legacy_eval.tsv")
+    os.makedirs(args.output, exist_ok=True)
+    n_total = n_correct = 0
+    with open(out_path, "w") as fout:
+        fout.write("# Contig\tPos\tTruth\tPred\tQual\tTrue/False\n")
+        for (_name, b1, b2, idx1, idx2, ctg, centers,
+             labels) in _legacy_labeled_bins(args):
+            keep = select_training_sites(labels, rng)
+            if len(keep) == 0:
+                continue
+            g0 = build_g_images(
+                _legacy_tag_slices(b1, idx1[keep], md, "surrounding_"),
+                _legacy_tag_slices(b2, idx2[keep], md, "surrounding_"), md)
+            g1 = build_g_images(_legacy_tag_slices(b1, idx1[keep], md),
+                                _legacy_tag_slices(b2, idx2[keep], md), md)
+            gt = labels[keep, 1]
+            pos = centers[keep]
+            for s in range(0, len(keep), args.batch_size):
+                probs = np.asarray(catmodel_predict(
+                    params, jnp.asarray(g0[s:s + args.batch_size],
+                                        jnp.float32),
+                    jnp.asarray(g1[s:s + args.batch_size], jnp.float32),
+                    use_pallas=use_pallas))
+                best = probs.argmax(1)
+                sub_gt = gt[s:s + args.batch_size]
+                n_total += len(best)
+                n_correct += int((best == sub_gt).sum())
+                for p, cls, pr, y in zip(pos[s:s + args.batch_size], best,
+                                         probs.max(1), sub_gt):
+                    ok = "-" if cls == y else "False"
+                    fout.write(f"{ctg}\t{p}\t{C.GT21_LABELS[y]}\t"
+                               f"{C.GT21_LABELS[cls]}\t"
+                               f"{calculate_score(float(pr))}\t{ok}\n")
+    acc = round(n_correct / n_total, 4) if n_total else 0.0
+    print({"sites": n_total, "accuracy": acc, "output": out_path})
+    return 0
+
+
+def _run_legacy_filter_labels(args, cfg) -> int:
+    """Reference filter_catmodel_label.py: write positions where both
+    tags' read consensus contradicts the truth label (label noise to drop
+    before legacy training)."""
+    import numpy as np
+
+    from ..legacy.labelcheck import consensus_label_mismatches
+
+    out_path = os.path.join(args.output, "filtered_positions.txt")
+    os.makedirs(args.output, exist_ok=True)
+    n_flagged = n_checked = 0
+    with open(out_path, "w") as fout:
+        for (name, b1, b2, idx1, idx2, ctg, centers,
+             labels) in _legacy_labeled_bins(args):
+            r1 = b1["read_matrix"][idx1, :args.max_depth]
+            r2 = b2["read_matrix"][idx2, :args.max_depth]
+            col = args.center_col
+            if col is None:
+                col = r1.shape[2] // 2
+            checked, mism = consensus_label_mismatches(
+                r1, r2, labels[:, 1], col, args.threshold)
+            # only confidently-labeled SNV sites participate, as in the
+            # reference (its bins carry labels only there)
+            conf = (labels[:, 0] > 0) & (labels[:, 1] >= 0) \
+                & (labels[:, 1] < 10)
+            mism &= conf
+            n_checked += int((checked & conf).sum())
+            n_flagged += int(mism.sum())
+            for p in centers[mism]:
+                fout.write(f"{ctg}:{p}\n")
+            print({"bin": name, "flagged": int(mism.sum()),
+                   "kept": int((conf & ~mism).sum())})
+    print({"checked": n_checked, "flagged": n_flagged, "output": out_path})
     return 0
 
 
@@ -995,6 +1146,17 @@ def _run_call(args, cfg) -> int:
                                                   merge_vcf),
                   "merge calls"),
         ]
+        # kick the s5 model compile now: it is the longest compile in the
+        # pipeline (minutes cold on TPU) with config-fixed shapes, so it
+        # hides behind s1-s4 instead of serializing in front of s5. Skipped
+        # when s5 is already .done (resume) - nothing would use it.
+        s5_done = os.path.join(work_dir, ".stages",
+                               "s5_haplotype_predict.done")
+        if args.no_resume or not os.path.exists(s5_done):
+            stages.prewarm_haplotype_model(cfg, args.haplotype_model)
+    s2_done = os.path.join(work_dir, ".stages", "s2_pileup_predict.done")
+    if args.no_resume or not os.path.exists(s2_done):
+        stages.prewarm_pileup_model(cfg, args.pileup_model)
     runner.run(stage_list, resume=not args.no_resume)
 
     if plan.n_hosts > 1:

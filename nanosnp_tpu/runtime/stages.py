@@ -11,7 +11,9 @@ Data flow (mirrors SURVEY.md §1 stage table):
 """
 from __future__ import annotations
 
+import logging
 import os
+import threading
 import time
 from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
@@ -323,21 +325,11 @@ def stage_pileup_predict(
     import jax.numpy as jnp
 
     from ..models.convert import load_pileup_checkpoint
-    from ..models.pileup_model import pileup_predict
-    from ..parallel.inference import BatchedPredictor
 
     if params is None:
         params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(model_path))
     mcfg = cfg.pileup_model
-    compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
-    use_pallas = _resolve_use_pallas(cfg)
-
-    def fn(p, x):
-        return pileup_predict(p, x.astype(jnp.float32), mcfg,
-                              compute_dtype=compute_dtype,
-                              use_pallas=use_pallas)
-
-    predictor = BatchedPredictor(fn, params, batch_size=cfg.inference.batch_size)
+    predictor = pileup_model_predictor(cfg, params)
 
     n_sites = 0
     t0 = time.monotonic()
@@ -541,6 +533,129 @@ def _pack_haplotype_shard(ctg, groups, mats, hf) -> Optional[bins.HaplotypeShard
     )
 
 
+_HAP_PREDICTORS: Dict[tuple, object] = {}
+_HAP_PREDICTOR_LOCK = threading.Lock()
+
+
+def pileup_model_predictor(cfg: PipelineConfig, params):
+    """Process-cached BatchedPredictor for the s2 pileup model program
+    (fixed shapes [batch, 33, 18]); see `haplotype_model_predictor` for
+    the rationale. `prewarm_pileup_model` overlaps its compile with s1."""
+    import jax.numpy as jnp
+
+    from ..models.pileup_model import pileup_predict
+    from ..parallel.inference import BatchedPredictor
+
+    mcfg = cfg.pileup_model
+    compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
+    use_pallas = _resolve_use_pallas(cfg)
+    key = ("pileup", cfg.inference.batch_size, repr(mcfg),
+           cfg.inference.use_bf16, use_pallas)
+    with _HAP_PREDICTOR_LOCK:
+        pred = _HAP_PREDICTORS.get(key)
+        if pred is None:
+            def model_fn(p, x):
+                return pileup_predict(p, x.astype(jnp.float32), mcfg,
+                                      compute_dtype=compute_dtype,
+                                      use_pallas=use_pallas)
+
+            pred = BatchedPredictor(model_fn, params,
+                                    batch_size=cfg.inference.batch_size)
+            _HAP_PREDICTORS[key] = pred
+        else:
+            pred.update_params(params)
+    return pred
+
+
+def prewarm_pileup_model(cfg: PipelineConfig,
+                         model_path: Optional[str]) -> threading.Thread:
+    """Compile the s2 program on a daemon thread while s1 parses."""
+    def _warm():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from ..models.convert import load_pileup_checkpoint
+
+            params = jax.tree.map(jnp.asarray,
+                                  load_pileup_checkpoint(model_path))
+            pred = pileup_model_predictor(cfg, params)
+            w = 2 * C.FLANKING_BASES + 1
+            x = np.zeros((pred.batch_size, w, C.NUM_CHANNELS), np.float32)
+            pred.run(x)
+        except Exception:  # pragma: no cover - best-effort warm
+            logging.getLogger(__name__).warning(
+                "pileup model prewarm failed", exc_info=True)
+
+    t = threading.Thread(target=_warm, name="s2-prewarm", daemon=True)
+    t.start()
+    return t
+
+
+def haplotype_model_predictor(cfg: PipelineConfig, params):
+    """Process-cached BatchedPredictor for the haplotype model program.
+
+    The Pallas dual-BiLSTM is by far the most expensive compile in the
+    pipeline (minutes cold on TPU) while its shapes are fixed by config —
+    [batch, 33, 105] / [batch, 11, 105] — so one compiled program serves
+    every depth bucket, contig, and stage invocation. `prewarm_haplotype_
+    model` compiles it in the background while s1–s4 run."""
+    import jax.numpy as jnp
+
+    from ..models.haplotype_model import haplotype_predict
+    from ..parallel.inference import BatchedPredictor
+
+    hcfg = cfg.haplotype_model
+    compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
+    use_pallas = _resolve_use_pallas(cfg)
+    key = (cfg.inference.batch_size, repr(hcfg),
+           cfg.inference.use_bf16, use_pallas)
+    with _HAP_PREDICTOR_LOCK:
+        pred = _HAP_PREDICTORS.get(key)
+        if pred is None:
+            def model_fn(p, xp, xh):
+                return haplotype_predict(p, xp, xh, hcfg,
+                                         compute_dtype=compute_dtype,
+                                         use_pallas=use_pallas)
+
+            pred = BatchedPredictor(model_fn, params,
+                                    batch_size=cfg.inference.batch_size)
+            _HAP_PREDICTORS[key] = pred
+        else:
+            pred.update_params(params)
+    return pred
+
+
+def prewarm_haplotype_model(cfg: PipelineConfig, model_path: str) -> threading.Thread:
+    """Compile (or load from the persistent cache) the s5 model program on
+    a daemon thread so the cold-compile cost overlaps s1–s4 instead of
+    serializing in front of s5 (measured 743 s cold for a 20 Mbp world
+    where s1–s4 take ~4 min — the whole compile hides)."""
+    def _warm():
+        try:
+            import jax.numpy as jnp
+
+            from ..train.train_pileup import load_checkpoint
+
+            params, _ = load_checkpoint(model_path)
+            pred = haplotype_model_predictor(cfg, params)
+            compute_dtype = (jnp.bfloat16 if cfg.inference.use_bf16
+                             else jnp.float32)
+            l_p = 2 * cfg.haplotype_feature.pileup_flanking_size + 1
+            l_h = 2 * cfg.haplotype_feature.adjacent_size + 1
+            bs = pred.batch_size
+            xp = jnp.zeros((bs, l_p, 105), compute_dtype)
+            xh = jnp.zeros((bs, l_h, 105), compute_dtype)
+            pred.run(np.asarray(xp), np.asarray(xh))
+        except Exception:  # pragma: no cover - best-effort warm
+            logging.getLogger(__name__).warning(
+                "haplotype model prewarm failed", exc_info=True)
+
+    t = threading.Thread(target=_warm, name="s5-prewarm", daemon=True)
+    t.start()
+    return t
+
+
 def stage_haplotype_predict(
     cfg: PipelineConfig,
     ref: FastaReference,
@@ -550,6 +665,7 @@ def stage_haplotype_predict(
 ) -> Dict:
     """s5: haplotype shards -> featurize on device -> model -> calls CSV
     (rows `ctg\\tpos\\tGT\\tqual`, reference predict_dev.py:43-47)."""
+    import jax
     import jax.numpy as jnp
 
     from ..decode.pileup_vcf import calculate_score
@@ -560,33 +676,55 @@ def stage_haplotype_predict(
     compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
     use_pallas = _resolve_use_pallas(cfg)
 
-    def fn(p, seq_p, bq_p, mq_p, hap_p, ref_p, seq_h, bq_h, mq_h, hap_h, ref_h):
+    # Two separately-jitted device programs CHAINED ON DEVICE (round-2
+    # findings, in order):
+    #   1. fusing featurize+model in one jit recompiled the EXPENSIVE part
+    #      (the Pallas dual-BiLSTM, minutes cold) per depth bucket, though
+    #      its shapes have no depth in them. Split: featurize (plain XLA
+    #      reductions, seconds to compile) jits per bucket; the model
+    #      compiles ONCE (`haplotype_model_predictor`, prewarmable).
+    #   2. fetching the [B,L,105] features to host to pool them round-trips
+    #      ~150 MB/batch over the TPU link (~1.5 GB/s local PCIe is fine;
+    #      the axon relay is ~60 MB/s + ~1s/dispatch and it dominated the
+    #      whole stage). So pooling happens on the RAW int8 read matrices
+    #      on host (the one mandatory H2D direction, 4x smaller than f32),
+    #      and featurize output flows straight into the model on device;
+    #      only the tiny (gt, zy) probabilities come back.
+    # Deep buckets featurize in sub-batches (activation memory ~ B*D) that
+    # device-concatenate up to the fixed model batch.
+    def featurize_fn(_p, seq_p, bq_p, mq_p, hap_p, ref_p,
+                     seq_h, bq_h, mq_h, hap_h, ref_h):
         xp = haplotype_features(seq_p, bq_p, mq_p, hap_p, ref_p)
         xh = haplotype_features(seq_h, bq_h, mq_h, hap_h, ref_h)
-        return haplotype_predict(p, xp, xh, hcfg, compute_dtype=compute_dtype,
-                                 use_pallas=use_pallas)
+        return xp.astype(compute_dtype), xh.astype(compute_dtype)
 
-    # Depth is ragged across shards: pad to buckets so jit compiles once
-    # per bucket pair, and POOL rows across shards/contigs per bucket pair
-    # so every device step sees a full batch (round-1 review finding: the
-    # old per-shard dispatch padded <=100-site chunks to the full batch,
-    # ~80x wasted BiLSTM compute). Remainders are carried between shards
-    # and flushed once per bucket pair at the end.
-    predictors: Dict[tuple, BatchedPredictor] = {}
+    model_pred = haplotype_model_predictor(cfg, params)
+    model_bs = model_pred.batch_size
 
-    def get_predictor(dp_b: int) -> BatchedPredictor:
-        bs = _depth_scaled_batch(cfg.inference.batch_size, dp_b)
-        if bs not in predictors:
-            predictors[bs] = BatchedPredictor(fn, params, batch_size=bs)
-        return predictors[bs]
+    featurizers: Dict[int, BatchedPredictor] = {}
+
+    def get_featurizer(dp_b: int) -> BatchedPredictor:
+        # halve the featurize sub-batch until activation memory is ~ the
+        # 128-depth reference point; halving keeps it dividing model_bs
+        fs = model_bs
+        while fs * dp_b > model_bs * 128 and fs > 512:
+            fs //= 2
+        if fs not in featurizers:
+            featurizers[fs] = BatchedPredictor(featurize_fn, None,
+                                               batch_size=fs)
+        return featurizers[fs]
+
+    concat2 = jax.jit(lambda xs: jnp.concatenate(xs))
 
     pools: Dict[tuple, Dict] = {}
     results: List[tuple] = []   # ((contig_key, pos), csv_line)
+    pending: List[tuple] = []   # (meta_chunk, device (gt, zy))
     n_sites = 0
     t0 = time.monotonic()
 
-    def run_rows(dp_b, args, meta):
-        gt, _zy = get_predictor(dp_b).run(*args)
+    def drain_one():
+        meta, res = pending.pop(0)
+        gt = np.asarray(res[0])[: len(meta)]
         gt_arg = gt.argmax(axis=1)
         gt_max = gt.max(axis=1)
         for j, (ctg, pos) in enumerate(meta):
@@ -599,14 +737,40 @@ def stage_haplotype_predict(
         n = len(pool["meta"])
         if n == 0:
             return
-        bs = get_predictor(key[0]).batch_size
-        keep = 0 if final else n % bs
+        keep = 0 if final else n % model_bs
         run_n = n - keep
         if run_n == 0:
             return
         args = [np.concatenate([c[i] for c in pool["chunks"]])
                 for i in range(len(pool["chunks"][0]))]
-        run_rows(key[0], [a[:run_n] for a in args], pool["meta"][:run_n])
+        feat = get_featurizer(key[0])
+        fs = feat.batch_size
+        pad_rows = -run_n % fs
+        if pad_rows:   # final partial batch: pad raw int8 on host (cheap)
+            args_run = [np.concatenate(
+                [a[:run_n],
+                 np.full((pad_rows,) + a.shape[1:], C.PAD_VALUE, a.dtype)])
+                for a in args]
+        else:
+            args_run = [a[:run_n] for a in args]
+        total = run_n + pad_rows
+        for start in range(0, total, model_bs):
+            end = min(start + model_bs, total)
+            parts = [feat.apply(*[a[s:s + fs] for a in args_run])
+                     for s in range(start, end, fs)]
+            if len(parts) == 1:
+                xp, xh = parts[0]
+            else:
+                xp = concat2([p[0] for p in parts])
+                xh = concat2([p[1] for p in parts])
+            if xp.shape[0] < model_bs:   # final sub-model_bs remainder
+                reps = -(-model_bs // xp.shape[0])
+                xp = concat2([xp] * reps)[:model_bs]
+                xh = concat2([xh] * reps)[:model_bs]
+            res = model_pred.apply(xp, xh)
+            pending.append((pool["meta"][start: min(end, run_n)], res))
+            while len(pending) > 2:
+                drain_one()
         pool["meta"] = pool["meta"][run_n:]
         pool["chunks"] = ([[a[run_n:] for a in args]] if keep else [])
 
@@ -623,6 +787,8 @@ def stage_haplotype_predict(
     def flush_contig():
         for key in list(pools):
             flush(key, final=True)
+        while pending:
+            drain_one()
         results.sort(key=lambda kv: kv[0])
         for _, line in results:
             out_f.write(line)
@@ -639,35 +805,35 @@ def stage_haplotype_predict(
         seq = ref.contig(shard.contig)
         dp_b = _bucket(shard.pileup["sequences"].shape[1])
         dh_b = _bucket(shard.haplotype["sequences"].shape[1])
-        # read matrices ship as int8 (values fit [-2, 93]; featurizer casts
-        # to f32 on device) -> 4x less host->device traffic.
+        # read matrices ship compact (int8; int16 for mapq which can reach
+        # 254 in the BAM spec) -> 4x less host->device traffic than f32.
+        # Shards already store these dtypes (bins._KEY_DTYPE); the astype
+        # is a no-op there and only converts legacy int32 shards.
         # Key order MUST match fn's positional signature (seq, baseq, mapq,
         # hap) — NOT bins._KEYS order, which lists hap second (round-1 bug:
         # the permutation fed HP tags as base qualities and mapq as the
         # phasing groups, silently degrading every haplotype call).
-        i8 = np.int8
         args = []
         for view, db in (("pileup", dp_b), ("haplotype", dh_b)):
             d = getattr(shard, view)
             pad = ((0, 0), (0, db - d["sequences"].shape[1]), (0, 0))
             for k in ("sequences", "baseq", "mapq", "hap"):
                 a = np.pad(d[k], pad, constant_values=C.PAD_VALUE)
-                # mapq can reach 254 in the BAM spec; clamp into int8 range
-                args.append(np.clip(a, -128, 127).astype(i8))
+                args.append(a.astype(bins._KEY_DTYPE[k], copy=False))
             if view == "pileup":
                 args.append(ref_window_codes(
                     seq, shard.candidate_positions,
-                    cfg.haplotype_feature.pileup_flanking_size).astype(i8))
+                    cfg.haplotype_feature.pileup_flanking_size).astype(np.int8))
             else:
                 args.append(ref_position_codes(
-                    seq, shard.group_positions).astype(i8))
+                    seq, shard.group_positions).astype(np.int8))
         key = (dp_b, dh_b)
         pool = pools.setdefault(key, {"chunks": [], "meta": []})
         pool["chunks"].append(args)
         pool["meta"].extend(
             (shard.contig, int(p)) for p in shard.candidate_positions)
         n_sites += len(shard)
-        if len(pool["meta"]) >= get_predictor(dp_b).batch_size:
+        if len(pool["meta"]) >= model_bs:
             flush(key, final=False)
     flush_contig()
     out_f.close()
