@@ -149,6 +149,90 @@ def test_legacy_train_end_to_end(legacy_world, tmp_path):
     assert "res_blocks" in params and len(params["res_blocks"]) == 6
 
 
+def test_legacy_eval_and_filter_labels(legacy_world, tmp_path):
+    """legacy-eval (reference eval.py) + legacy-filter-labels (reference
+    filter_catmodel_label.py) over the same dual-tag labeled world."""
+    tmp = legacy_world
+    split_dir = tmp_path / "split"
+    cli_main(["split-bam", "--bam", str(tmp / "t.bam"),
+              "-o", str(split_dir), "--by-tag"])
+    bins1, bins2 = tmp_path / "b1", tmp_path / "b2"
+    for tag_bam, out in ((split_dir / "h1.bam", bins1),
+                         (split_dir / "h2.bam", bins2)):
+        cli_main(["legacy-make-groups", "--pileup-vcf",
+                  str(tmp / "pileup.vcf"), "--bam", str(tag_bam),
+                  "-o", str(out)])
+    truth_lines = ["##fileformat=VCFv4.2",
+                   "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+    for t in sorted(legacy_world_truth(tmp), key=lambda t: t.pos1):
+        gt = "1/1" if t.hom else "0/1"
+        truth_lines.append(
+            f"chrL\t{t.pos1}\t.\t{t.ref}\t{t.alt}\t50\tPASS\t.\tGT\t{gt}")
+    (tmp_path / "truth.vcf").write_text("\n".join(truth_lines) + "\n")
+    (tmp_path / "conf.bed").write_text("chrL\t0\t30000\n")
+
+    from nanosnp_tpu.legacy.catmodel import init_catmodel_params
+    from nanosnp_tpu.train.train_pileup import save_params_npz
+
+    model = tmp_path / "cat.npz"
+    save_params_npz(str(model), init_catmodel_params(jax.random.key(5)))
+    out_dir = tmp_path / "eval_out"
+    rc = cli_main(["legacy-eval", "--data-tag1", str(bins1),
+                   "--data-tag2", str(bins2), "--model", str(model),
+                   "--ref", str(tmp / "ref.fa"),
+                   "--truth-vcf", str(tmp_path / "truth.vcf"),
+                   "--bed", str(tmp_path / "conf.bed"),
+                   "--batch-size", "64", "-o", str(out_dir)])
+    assert rc == 0
+    rows = (out_dir / "legacy_eval.tsv").read_text().strip().splitlines()
+    assert rows[0].startswith("# Contig")
+    assert len(rows) > 1
+    for row in rows[1:4]:
+        ctg, pos, truth_gt, pred, qual, flag = row.split("\t")
+        assert ctg == "chrL" and len(truth_gt) == 2 and len(pred) == 2
+        assert flag in ("-", "False")
+        assert (flag == "-") == (truth_gt == pred)
+
+    f_dir = tmp_path / "filter_out"
+    rc = cli_main(["legacy-filter-labels", "--data-tag1", str(bins1),
+                   "--data-tag2", str(bins2), "--ref", str(tmp / "ref.fa"),
+                   "--truth-vcf", str(tmp_path / "truth.vcf"),
+                   "--bed", str(tmp_path / "conf.bed"),
+                   "-o", str(f_dir)])
+    assert rc == 0
+    assert (f_dir / "filtered_positions.txt").exists()
+
+
+def test_consensus_label_mismatch_oracle():
+    """Vectorized labelcheck vs a scalar restatement of the reference rule
+    (filter_catmodel_label.py:221-247)."""
+    from nanosnp_tpu.legacy.labelcheck import consensus_label_mismatches
+    from nanosnp_tpu.legacy.train import cal_label
+
+    rng = np.random.default_rng(77)
+    n, d, L = 60, 12, 11
+    col = 2    # the reference's hardcoded column
+    r1 = rng.choice([-2, -1, 0, 1, 2, 3, 4], size=(n, d, L),
+                    p=[.15, .05, .1, .3, .1, .1, .2]).astype(np.int64)
+    r2 = rng.permuted(r1, axis=1)
+    gt = rng.integers(0, 15, size=n)
+    checked, mism = consensus_label_mismatches(r1, r2, gt, col)
+
+    for s in range(n):
+        def frac(r):
+            c = r[s, :, col]
+            den = (c != -2).sum() + 1e-9
+            return np.array([(c == v).sum() / den for v in (1, 2, 3, 4, -1)])
+        f1, f2 = frac(r1), frac(r2)
+        both = f1.max() >= 0.70 and f2.max() >= 0.70
+        assert checked[s] == both
+        if both:
+            implied = cal_label(int(f1.argmax()), int(f2.argmax()))
+            assert mism[s] == (implied != gt[s])
+        else:
+            assert not mism[s]
+
+
 def legacy_world_truth(tmp):
     """The fixture's diploid truth, regenerated deterministically."""
     rng = np.random.default_rng(404)
