@@ -86,6 +86,7 @@ struct BgzfBlock {
 
 struct OpenBam {
   FILE* f = nullptr;
+  int fd = -1;   // fileno(f): pread-based block fetch needs no file lock
   std::vector<BamRef> refs;
   std::unordered_map<std::string, int> ref_ids;
   std::vector<RecordIdx> index;           // sorted by (ref_id, start)
@@ -257,6 +258,37 @@ bool aux_int(const BamRecord& r, const char tag[2], int64_t* out) {
 }
 
 // fetch inflated bytes [lo, hi) into buf (thread-safe per handle)
+// Inflate one BGZF member into exactly `cap` bytes at `dst` using pread
+// (no shared-FILE* seek, so no lock needed). Returns false on error or if
+// the member does not inflate to exactly `cap` bytes.
+bool inflate_member_pread(int fd, uint64_t file_off, uint8_t* dst,
+                          uint32_t cap) {
+  uint8_t in_buf[1 << 16];
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
+  zs.next_out = dst;
+  zs.avail_out = cap;
+  uint64_t off = file_off;
+  int ret = Z_OK;
+  bool ok = true;
+  while (ret != Z_STREAM_END) {
+    if (zs.avail_in == 0) {
+      ssize_t got = pread(fd, in_buf, sizeof(in_buf), (off_t)off);
+      if (got <= 0) { ok = false; break; }
+      off += (uint64_t)got;
+      zs.next_in = in_buf;
+      zs.avail_in = (uInt)got;
+    }
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) { ok = false; break; }
+    if (ret != Z_STREAM_END && zs.avail_out == 0) { ok = false; break; }
+  }
+  ok = ok && zs.avail_out == 0;
+  inflateEnd(&zs);
+  return ok;
+}
+
 bool fetch_inflated(OpenBam* b, uint64_t lo, uint64_t hi,
                     std::vector<uint8_t>& buf, uint64_t* base) {
   if (hi > b->total_inflated) hi = b->total_inflated;
@@ -266,32 +298,56 @@ bool fetch_inflated(OpenBam* b, uint64_t lo, uint64_t hi,
     return true;
   }
   // first block with infl_off + infl_len > lo
-  size_t i = (size_t)(std::upper_bound(
-                          b->blocks.begin(), b->blocks.end(), lo,
-                          [](uint64_t v, const BgzfBlock& blk) {
-                            return v < blk.infl_off + blk.infl_len;
-                          }) -
-                      b->blocks.begin());
-  if (i >= b->blocks.size()) return false;
-  *base = b->blocks[i].infl_off;
-  buf.clear();
-  std::lock_guard<std::mutex> lk(b->io_mu);
+  size_t i0 = (size_t)(std::upper_bound(
+                           b->blocks.begin(), b->blocks.end(), lo,
+                           [](uint64_t v, const BgzfBlock& blk) {
+                             return v < blk.infl_off + blk.infl_len;
+                           }) -
+                       b->blocks.begin());
+  if (i0 >= b->blocks.size()) return false;
+  const uint64_t base0 = b->blocks[i0].infl_off;
+  *base = base0;
+  size_t i1 = i0;
+  uint64_t total = 0;
+  while (i1 < b->blocks.size() && b->blocks[i1].infl_off < hi) {
+    total += b->blocks[i1].infl_len;
+    ++i1;
+  }
+  buf.resize(total);
   size_t cap = cache_cap_bytes();
-  for (; i < b->blocks.size() && b->blocks[i].infl_off < hi; ++i) {
-    auto it = b->block_cache.find(i);
-    if (it != b->block_cache.end()) {
-      buf.insert(buf.end(), it->second.begin(), it->second.end());
-      continue;
+  // pass 1 (locked): copy cache hits into place, collect misses. The
+  // expensive inflate runs OUTSIDE io_mu via pread — s4/s1 chunk threads
+  // used to serialize on the lock for the whole inflate, flattening the
+  // thread fan-out to single-core speed on cold regions.
+  std::vector<size_t> missing;
+  {
+    std::lock_guard<std::mutex> lk(b->io_mu);
+    for (size_t i = i0; i < i1; ++i) {
+      auto it = b->block_cache.find(i);
+      uint8_t* dst = buf.data() + (b->blocks[i].infl_off - base0);
+      if (it != b->block_cache.end())
+        std::memcpy(dst, it->second.data(), it->second.size());
+      else
+        missing.push_back(i);
     }
-    uint32_t cl, il;
-    size_t before = buf.size();
-    if (!inflate_member(b->f, b->blocks[i].file_off, buf, &cl, &il))
+  }
+  // pass 2 (unlocked): inflate misses straight into their span slots
+  for (size_t i : missing) {
+    uint8_t* dst = buf.data() + (b->blocks[i].infl_off - base0);
+    if (!inflate_member_pread(b->fd, b->blocks[i].file_off, dst,
+                              b->blocks[i].infl_len))
       return false;
-    if (cap) {
+  }
+  // pass 3 (locked): publish newly inflated blocks to the FIFO cache
+  if (cap && !missing.empty()) {
+    std::lock_guard<std::mutex> lk(b->io_mu);
+    for (size_t i : missing) {
+      if (b->block_cache.count(i)) continue;   // another thread won
+      const uint8_t* src = buf.data() + (b->blocks[i].infl_off - base0);
       b->block_cache.emplace(
-          i, std::vector<uint8_t>(buf.begin() + before, buf.end()));
+          i, std::vector<uint8_t>(src, src + b->blocks[i].infl_len));
       b->fifo_order.push_back(i);
-      b->cache_bytes += il;
+      b->cache_bytes += b->blocks[i].infl_len;
       while (b->cache_bytes > cap && !b->fifo_order.empty()) {
         size_t victim = b->fifo_order.front();
         b->fifo_order.pop_front();
@@ -593,6 +649,7 @@ int64_t nsp_bam_open(const char* path) {
   if (!f) return -1;
   OpenBam* b = new OpenBam();
   b->f = f;
+  b->fd = fileno(f);
 
   if (try_load_sidecar(b, path)) {
     b->ref_index_begin.assign(b->refs.size() + 1, b->index.size());

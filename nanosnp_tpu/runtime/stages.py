@@ -451,7 +451,11 @@ def stage_haplotype_features(
                             len(chunks)), 1)
 
         def extract_one(chunk):
-            mats = extractor(ctg, chunk, hf.pileup_flanking_size)
+            try:
+                mats = extractor(ctg, chunk, hf.pileup_flanking_size,
+                                 packed=True)
+            except TypeError:   # custom extractor without the packed path
+                mats = extractor(ctg, chunk, hf.pileup_flanking_size)
             if mats is None:
                 return None
             # the extractor may drop coverage-failed groups; align the
@@ -506,6 +510,29 @@ def _pack_haplotype_shard(ctg, groups, mats, hf) -> Optional[bins.HaplotypeShard
     """Pad per-site ragged read matrices to the chunk max depth with -2 and
     apply depth caps (first rows kept, as the reference truncates after
     HP-sorting)."""
+    if "packed" in mats:
+        # extractor already produced depth-padded [G, D, L] arrays; only
+        # the per-view depth caps remain
+        if len(groups) == 0:
+            return None
+        pk = mats["packed"]
+
+        def capped(view, cap):
+            arrs = pk[view]
+            d = arrs["sequences"].shape[1]
+            dc = max(min(d, cap) if cap is not None else d, 1)
+            return {k: np.ascontiguousarray(a[:, :dc])
+                    for k, a in arrs.items()}
+
+        return bins.HaplotypeShard(
+            contig=ctg,
+            candidate_positions=groups[:, groups.shape[1] // 2].astype(
+                np.int64),
+            group_positions=groups.astype(np.int64),
+            pileup=capped("pileup", hf.max_pileup_depth),
+            haplotype=capped("haplotype", hf.max_haplotype_depth),
+        )
+
     def pack(key_prefix, cap):
         arrs = mats[key_prefix]  # list of dicts of [d_i, L] arrays
         if not arrs:
@@ -515,8 +542,11 @@ def _pack_haplotype_shard(ctg, groups, mats, hf) -> Optional[bins.HaplotypeShard
             maxd = min(maxd, cap) if maxd > 0 else maxd
         packed = {}
         for k in bins._KEYS:
+            # pack straight into the compact storage dtype (int8/int16,
+            # bins._KEY_DTYPE): downstream concat/save/ship then never
+            # touch int32-wide copies
             out = np.full((len(arrs), max(maxd, 1), arrs[0][k].shape[1]),
-                          C.PAD_VALUE, dtype=np.int32)
+                          C.PAD_VALUE, dtype=bins._KEY_DTYPE[k])
             for i, a in enumerate(arrs):
                 d = min(a[k].shape[0], maxd)
                 out[i, :d] = a[k][:d]
