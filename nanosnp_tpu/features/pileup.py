@@ -253,8 +253,15 @@ def assemble_windows(
     pile: ChromPileup,
     chr_seq: np.ndarray,
     flank: int = C.FLANKING_BASES,
+    emit_lo: Optional[int] = None,
+    emit_hi: Optional[int] = None,
 ) -> CandidateBatch:
-    """Vectorized window emission (equivalent of the reference ring buffer)."""
+    """Vectorized window emission (equivalent of the reference ring buffer).
+
+    emit_lo/emit_hi filter the emitted centers to (emit_lo, emit_hi]
+    BEFORE the window gather — chunked callers (overlapped text units,
+    BAM regions) previously gathered the full [N,33,18] matrix and then
+    copied a boolean slice of it, doubling the largest allocation in s1."""
     window = 2 * flank + 1
     p = pile.positions
     n = len(p)
@@ -266,10 +273,14 @@ def assemble_windows(
         sel = sel[contiguous]
     else:
         sel = np.zeros(0, dtype=np.int64)
+    if emit_lo is not None and len(sel):
+        sel = sel[p[sel] > emit_lo]
+    if emit_hi is not None and len(sel):
+        sel = sel[p[sel] <= emit_hi]
 
     if len(sel) == 0:
         return CandidateBatch(pile.chrom, np.zeros(0, np.int64),
-                              np.zeros((0, window, 18), np.int32), [], [],
+                              np.zeros((0, window, 18), np.int16), [], [],
                               np.zeros(0, np.int32))
 
     gather = sel[:, None] + np.arange(-flank, flank + 1)[None, :]
@@ -311,5 +322,5 @@ def predict_inputs(batch: CandidateBatch) -> Tuple[np.ndarray, np.ndarray, List[
             refs.append(su)
     keep = np.asarray(keep, dtype=np.int64)
     if len(keep) == 0:
-        return (np.zeros((0, 33, 18), np.int32), np.zeros(0, np.int64), [])
+        return (np.zeros((0, 33, 18), np.int16), np.zeros(0, np.int64), [])
     return batch.matrix[keep], batch.positions[keep], refs

@@ -163,12 +163,18 @@ class BamFile:
             raise RuntimeError("alt buffer negotiation failed")
         m = int(ret)
         alt_bytes = alt_buf.tobytes()
-        alt_info = [alt_bytes[alt_off[2 * i]: alt_off[2 * i + 1]].decode()
-                    for i in range(m)]
+        # decode alt_info lazily: only candidate rows carry/need it, and
+        # decoding all ~2M rows per chunk cost more than the native pileup
+        # itself (only ~1.5% of rows are candidates)
+        alt_info = [""] * m
+        for i in np.flatnonzero(cand[:m]):
+            alt_info[i] = alt_bytes[alt_off[2 * i]: alt_off[2 * i + 1]].decode()
         return ChromPileup(
             chrom=contig,
             positions=positions[:m].copy(),
-            counts=counts[:m].copy(),
+            # counts fit int16 (|v| <= 4*max_depth = 576 after the
+            # ref-negation trick): halves every downstream window copy
+            counts=counts[:m].astype(np.int16),
             depths=depths[:m].copy(),
             is_candidate=cand[:m].astype(bool),
             alt_info=alt_info,

@@ -138,14 +138,15 @@ def parse_mpileup_native(
 
     m = int(ret)
     alt_bytes = alt_buf.tobytes()
-    alt_info: List[str] = [
-        alt_bytes[alt_off[2 * i]: alt_off[2 * i + 1]].decode()
-        for i in range(m)
-    ]
+    # lazy alt decode + int16 counts: see BamFile.pileup_region (only
+    # candidate rows carry alt_info; counts fit +-576)
+    alt_info: List[str] = [""] * m
+    for i in np.flatnonzero(cand[:m]):
+        alt_info[i] = alt_bytes[alt_off[2 * i]: alt_off[2 * i + 1]].decode()
     return ChromPileup(
         chrom=chrom,
         positions=positions[:m].copy(),
-        counts=counts[:m].copy(),
+        counts=counts[:m].astype(np.int16),
         depths=depths[:m].copy(),
         is_candidate=cand[:m].astype(bool),
         alt_info=alt_info,

@@ -161,24 +161,19 @@ def stage_pileup_features(
                 min_coverage=fc.min_depth, max_indel=fc.max_indel_size,
                 n_threads=cfg.threads or 0)
             total_rows += len(unit_lines) - n_carry
-            batch = assemble_windows(pile, seq, flank)
-            if len(batch) == 0:
-                if not final and len(pile.positions) > flank:
-                    prev_bound = max(
-                        prev_bound, int(pile.positions[-(flank + 1)]))
-                continue
             if final:
-                sel = batch.positions > prev_bound
+                bound = None
             else:
                 # rows in the last `flank` lines lack their right flank in
                 # this unit; they re-appear in the next unit's carry
                 bound = int(pile.positions[-(flank + 1)]) \
                     if len(pile.positions) > flank else prev_bound
-                sel = (batch.positions > prev_bound) & (batch.positions <= bound)
+            sub = assemble_windows(pile, seq, flank,
+                                   emit_lo=prev_bound, emit_hi=bound)
+            if bound is not None:
                 prev_bound = max(prev_bound, bound)
-            if not sel.any():
+            if len(sub) == 0:
                 continue
-            sub = _slice_batch(batch, sel)
             mat, pos, refs33 = predict_inputs(sub)
             if len(pos) == 0:
                 continue
@@ -253,13 +248,11 @@ def stage_pileup_features_from_bam(
                     excl_flags=fc.mpileup_excl_flags,
                     max_depth=fc.mpileup_max_depth)
                 rows = int(((pile.positions > s) & (pile.positions <= e)).sum())
-                batch = assemble_windows(pile, seq, flank)
+                batch = assemble_windows(pile, seq, flank,
+                                         emit_lo=s, emit_hi=e)
                 if len(batch) == 0:
                     return rows, None
-                inside = (batch.positions > s) & (batch.positions <= e)
-                if not inside.any():
-                    return rows, None
-                mat, pos, r33 = predict_inputs(_slice_batch(batch, inside))
+                mat, pos, r33 = predict_inputs(batch)
                 if len(pos) == 0:
                     return rows, None
                 alt_map = {int(p): a for p, a in
@@ -296,20 +289,6 @@ def stage_pileup_features_from_bam(
     dt = time.monotonic() - t0
     return {"rows": total_rows, "candidates": total_cand,
             "rows_per_s": round(total_rows / dt, 1) if dt else 0}
-
-
-def _slice_batch(batch, mask: np.ndarray):
-    from ..features.pileup import CandidateBatch
-
-    idx = np.flatnonzero(mask)
-    return CandidateBatch(
-        chrom=batch.chrom,
-        positions=batch.positions[idx],
-        matrix=batch.matrix[idx],
-        ref_seqs=[batch.ref_seqs[i] for i in idx],
-        alt_info=[batch.alt_info[i] for i in idx],
-        depths=batch.depths[idx],
-    )
 
 
 def stage_pileup_predict(
