@@ -91,6 +91,7 @@ struct OpenBam {
   std::unordered_map<std::string, int> ref_ids;
   std::vector<RecordIdx> index;           // sorted by (ref_id, start)
   std::vector<size_t> ref_index_begin;    // per ref: first index entry
+  std::vector<uint32_t> ref_max_span;     // per ref: max record end-start
   std::vector<BgzfBlock> blocks;          // ascending infl_off
   uint64_t total_inflated = 0;
   std::mutex io_mu;                       // serializes file reads
@@ -258,6 +259,16 @@ bool aux_int(const BamRecord& r, const char tag[2], int64_t* out) {
 }
 
 // fetch inflated bytes [lo, hi) into buf (thread-safe per handle)
+void build_ref_max_span(OpenBam* b) {
+  b->ref_max_span.assign(b->refs.size(), 0);
+  for (const RecordIdx& ri : b->index) {
+    uint32_t span = (uint32_t)(ri.end > ri.start ? ri.end - ri.start : 0);
+    if (ri.ref_id >= 0 && (size_t)ri.ref_id < b->ref_max_span.size() &&
+        span > b->ref_max_span[ri.ref_id])
+      b->ref_max_span[ri.ref_id] = span;
+  }
+}
+
 // Inflate one BGZF member into exactly `cap` bytes at `dst` using pread
 // (no shared-FILE* seek, so no lock needed). Returns false on error or if
 // the member does not inflate to exactly `cap` bytes.
@@ -374,8 +385,24 @@ struct RegionIter {
 
   RegionIter(OpenBam* b_, int ref_id, int64_t start, int64_t end) : b(b_) {
     uint64_t lo = UINT64_MAX, hi = 0;
-    for (size_t i = b->ref_index_begin[ref_id];
-         i < b->index.size() && b->index[i].ref_id == ref_id; ++i) {
+    // entries for this ref are [rb, re), sorted by start. Scanning from rb
+    // every query made region lookups O(reads-per-contig) — s4 issues
+    // ~1000 chunk queries per contig, turning the stage quadratic in
+    // coverage x contig length. A record overlapping [start, end) must
+    // have ri.start in (start - max_span, end), so binary-search the left
+    // edge with the per-ref max record span.
+    size_t rb = b->ref_index_begin[ref_id];
+    size_t re = b->ref_index_begin[ref_id + 1];
+    int64_t min_start = start - (int64_t)(
+        ref_id < (int)b->ref_max_span.size() ? b->ref_max_span[ref_id] : 0);
+    size_t first = (size_t)(std::lower_bound(
+                                b->index.begin() + rb, b->index.begin() + re,
+                                min_start,
+                                [](const RecordIdx& ri, int64_t v) {
+                                  return ri.start < v;
+                                }) -
+                            b->index.begin());
+    for (size_t i = first; i < re; ++i) {
       const RecordIdx& ri = b->index[i];
       if (ri.start >= end) break;
       if (ri.end <= start) continue;
@@ -658,6 +685,7 @@ int64_t nsp_bam_open(const char* path) {
     for (size_t i = b->refs.size(); i-- > 0;)
       if (b->ref_index_begin[i] > b->ref_index_begin[i + 1])
         b->ref_index_begin[i] = b->ref_index_begin[i + 1];
+    build_ref_max_span(b);
     std::lock_guard<std::mutex> lk(g_mu);
     int64_t h = g_next_handle++;
     g_open[h] = b;
@@ -778,6 +806,7 @@ int64_t nsp_bam_open(const char* path) {
     if (b->ref_index_begin[i] > b->ref_index_begin[i + 1])
       b->ref_index_begin[i] = b->ref_index_begin[i + 1];
   }
+  build_ref_max_span(b);
 
   write_sidecar(b, path);
 

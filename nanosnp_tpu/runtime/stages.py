@@ -448,6 +448,8 @@ def stage_haplotype_features(
                     continue
                 key = (_bucket(shard.pileup["sequences"].shape[1]),
                        _bucket(shard.haplotype["sequences"].shape[1]))
+                if key not in pools:
+                    _maybe_prewarm_featurizer(cfg, key)
                 pools.setdefault(key, []).append(shard)
                 n_groups += len(shard)
         for (dpb, dhb), shards in pools.items():
@@ -640,6 +642,99 @@ def haplotype_model_predictor(cfg: PipelineConfig, params):
     return pred
 
 
+def haplotype_featurizer(cfg: PipelineConfig, fs: int):
+    """Process-cached featurize predictor (no params): [B,D,L] int8/int16
+    read matrices -> [B,L,105] compute-dtype stats for both views. Cached
+    so s4's bucket-discovery hook can compile it ahead of s5."""
+    import jax.numpy as jnp
+
+    from ..parallel.inference import BatchedPredictor
+
+    compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
+    key = ("featurize", fs, cfg.inference.use_bf16)
+    with _HAP_PREDICTOR_LOCK:
+        pred = _HAP_PREDICTORS.get(key)
+        if pred is None:
+            def featurize_fn(_p, seq_p, bq_p, mq_p, hap_p, ref_p,
+                             seq_h, bq_h, mq_h, hap_h, ref_h):
+                xp = haplotype_features(seq_p, bq_p, mq_p, hap_p, ref_p)
+                xh = haplotype_features(seq_h, bq_h, mq_h, hap_h, ref_h)
+                return xp.astype(compute_dtype), xh.astype(compute_dtype)
+
+            pred = BatchedPredictor(featurize_fn, None, batch_size=fs)
+            _HAP_PREDICTORS[key] = pred
+    return pred
+
+
+def _featurize_sub_batch(cfg: PipelineConfig, dp_b: int) -> int:
+    """Featurize sub-batch size for a depth bucket: halve until activation
+    memory is ~ the 128-depth reference point; halving keeps it dividing
+    the model batch."""
+    fs = cfg.inference.batch_size
+    while fs * dp_b > cfg.inference.batch_size * 128 and fs > 512:
+        fs //= 2
+    return fs
+
+
+def _device_concat():
+    """Process-cached jitted device concatenate (jax.jit caches per input
+    structure; one shared callable avoids a fresh jit per stage call)."""
+    with _HAP_PREDICTOR_LOCK:
+        fn = _HAP_PREDICTORS.get("concat")
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            fn = jax.jit(lambda xs: jnp.concatenate(xs))
+            _HAP_PREDICTORS["concat"] = fn
+    return fn
+
+
+_WARMED_FEATURIZERS: set = set()
+
+
+def _maybe_prewarm_featurizer(cfg: PipelineConfig, key: tuple) -> None:
+    """s4 hook: compile the featurizer for a newly-seen bucket pair in the
+    background (device backends only — on CPU the compile is cheap and a
+    background thread just steals test cores)."""
+    try:
+        import jax
+
+        if jax.default_backend() == "cpu" or key in _WARMED_FEATURIZERS:
+            return
+        _WARMED_FEATURIZERS.add(key)
+        prewarm_haplotype_featurizer(cfg, key[0], key[1])
+    except Exception:  # pragma: no cover
+        pass
+
+
+def prewarm_haplotype_featurizer(cfg: PipelineConfig, dp_b: int,
+                                 dh_b: int) -> threading.Thread:
+    """Compile the featurize program for one depth-bucket pair on a daemon
+    thread. s4 fires this the first time it sees a bucket pair, so by the
+    time s5 starts every featurizer it needs is compiled (each cold relay
+    compile otherwise serializes in front of s5's first batch)."""
+    def _warm():
+        try:
+            pred = haplotype_featurizer(cfg, _featurize_sub_batch(cfg, dp_b))
+            fs = pred.batch_size
+            l_p = 2 * cfg.haplotype_feature.pileup_flanking_size + 1
+            l_h = 2 * cfg.haplotype_feature.adjacent_size + 1
+            args = []
+            for db, ll in ((dp_b, l_p), (dh_b, l_h)):
+                for k in ("sequences", "baseq", "mapq", "hap"):
+                    args.append(np.zeros((fs, db, ll), bins._KEY_DTYPE[k]))
+                args.append(np.zeros((fs, ll), np.int8))
+            pred.apply(*args)
+        except Exception:  # pragma: no cover - best-effort warm
+            logging.getLogger(__name__).warning(
+                "featurizer prewarm failed", exc_info=True)
+
+    t = threading.Thread(target=_warm, name="s5-feat-prewarm", daemon=True)
+    t.start()
+    return t
+
+
 def prewarm_haplotype_model(cfg: PipelineConfig, model_path: str) -> threading.Thread:
     """Compile (or load from the persistent cache) the s5 model program on
     a daemon thread so the cold-compile cost overlaps s1–s4 instead of
@@ -683,12 +778,6 @@ def stage_haplotype_predict(
     import jax.numpy as jnp
 
     from ..decode.pileup_vcf import calculate_score
-    from ..models.haplotype_model import haplotype_predict
-    from ..parallel.inference import BatchedPredictor
-
-    hcfg = cfg.haplotype_model
-    compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
-    use_pallas = _resolve_use_pallas(cfg)
 
     # Two separately-jitted device programs CHAINED ON DEVICE (round-2
     # findings, in order):
@@ -706,29 +795,13 @@ def stage_haplotype_predict(
     #      only the tiny (gt, zy) probabilities come back.
     # Deep buckets featurize in sub-batches (activation memory ~ B*D) that
     # device-concatenate up to the fixed model batch.
-    def featurize_fn(_p, seq_p, bq_p, mq_p, hap_p, ref_p,
-                     seq_h, bq_h, mq_h, hap_h, ref_h):
-        xp = haplotype_features(seq_p, bq_p, mq_p, hap_p, ref_p)
-        xh = haplotype_features(seq_h, bq_h, mq_h, hap_h, ref_h)
-        return xp.astype(compute_dtype), xh.astype(compute_dtype)
-
     model_pred = haplotype_model_predictor(cfg, params)
     model_bs = model_pred.batch_size
 
-    featurizers: Dict[int, BatchedPredictor] = {}
+    def get_featurizer(dp_b: int):
+        return haplotype_featurizer(cfg, _featurize_sub_batch(cfg, dp_b))
 
-    def get_featurizer(dp_b: int) -> BatchedPredictor:
-        # halve the featurize sub-batch until activation memory is ~ the
-        # 128-depth reference point; halving keeps it dividing model_bs
-        fs = model_bs
-        while fs * dp_b > model_bs * 128 and fs > 512:
-            fs //= 2
-        if fs not in featurizers:
-            featurizers[fs] = BatchedPredictor(featurize_fn, None,
-                                               batch_size=fs)
-        return featurizers[fs]
-
-    concat2 = jax.jit(lambda xs: jnp.concatenate(xs))
+    concat2 = _device_concat()
 
     pools: Dict[tuple, Dict] = {}
     results: List[tuple] = []   # ((contig_key, pos), csv_line)
