@@ -21,7 +21,7 @@ Divergences from the reference (documented, both strictly better):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

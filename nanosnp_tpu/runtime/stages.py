@@ -15,7 +15,7 @@ import logging
 import os
 import threading
 import time
-from typing import Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -402,12 +402,27 @@ def stage_haplotype_features(
     write_to_bins.py:15-42: pad depth with -2 to the chunk max, truncate to
     the configured caps keeping the first rows after HP-sort.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
     hf = cfg.haplotype_feature
     with open(pileup_vcf) as f:
         sites = collect_sites(f, hf.low_quality_threshold)
     n_groups = 0
-    n_shards = 0
+    # one background writer: the per-contig concat+compress+save (~10 s
+    # per 20 Mbp contig) overlaps the NEXT contig's extraction
+    writer = ThreadPoolExecutor(max_workers=1)
+    write_futures = []
+
+    def write_contig(ctg, pools):
+        n = 0
+        for (dpb, dhb), shards in pools.items():
+            merged = _concat_haplotype_shards(ctg, shards, dpb, dhb)
+            bins.save_haplotype_shard(
+                os.path.join(out_dir, f"{ctg}_d{dpb}x{dhb}.npz"), merged)
+            n += 1
+        return n
+
     for ctg in sorted(sites, key=C.contig_sort_key):
         groups = build_groups(sites[ctg], hf.adjacent_size,
                               hf.low_quality_threshold, hf.hete_support_quality)
@@ -452,11 +467,9 @@ def stage_haplotype_features(
                     _maybe_prewarm_featurizer(cfg, key)
                 pools.setdefault(key, []).append(shard)
                 n_groups += len(shard)
-        for (dpb, dhb), shards in pools.items():
-            merged = _concat_haplotype_shards(ctg, shards, dpb, dhb)
-            bins.save_haplotype_shard(
-                os.path.join(out_dir, f"{ctg}_d{dpb}x{dhb}.npz"), merged)
-            n_shards += 1
+        write_futures.append(writer.submit(write_contig, ctg, pools))
+    n_shards = sum(f.result() for f in write_futures)
+    writer.shutdown()
     return {"groups": n_groups, "shards": n_shards}
 
 

@@ -47,6 +47,44 @@ def _random_shard(rng, contig, n, depth, flank, adj):
         pileup=view(l_p), haplotype=view(l_h))
 
 
+def test_legacy_int32_shard_loads_through_s5(tmp_path):
+    """Shards written before the compact-dtype change (int32 throughout)
+    must still flow through s5 unchanged (the stage narrows at transfer)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    cfg = PipelineConfig()
+    cfg.inference.batch_size = 512
+    cfg.inference.use_bf16 = False
+    cfg.inference.use_pallas = False
+    cfg.haplotype_model = HaplotypeModelConfig(hidden_size=8, lstm_layers=1)
+    flank = cfg.haplotype_feature.pileup_flanking_size
+    adj = cfg.haplotype_feature.adjacent_size
+    genome = {"chrL": "".join(rng.choice(list("ACGT"), size=4000))}
+    write_fasta(str(tmp_path / "ref.fa"), genome)
+    from nanosnp_tpu.io.fasta import FastaReference
+
+    ref = FastaReference(str(tmp_path / "ref.fa"))
+    shard = _random_shard(rng, "chrL", 20, 24, flank, adj)
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    # write the OLD layout by hand: int32 arrays, stock savez
+    arrays = {"contig": np.array("chrL"),
+              "candidate_positions": shard.candidate_positions,
+              "group_positions": shard.group_positions}
+    for k in bins._KEYS:
+        arrays[f"pileup_{k}"] = shard.pileup[k].astype(np.int32)
+        arrays[f"haplotype_{k}"] = shard.haplotype[k].astype(np.int32)
+    np.savez_compressed(str(shard_dir / "chrL_d24x24.npz"), **arrays)
+
+    params = init_haplotype_params(jax.random.key(1), cfg.haplotype_model)
+    out_csv = tmp_path / "haplotype.csv"
+    m = stages.stage_haplotype_predict(cfg, ref, str(shard_dir),
+                                       str(out_csv), params)
+    assert m["sites"] == 20
+    assert len(out_csv.read_text().strip().splitlines()) == 20
+
+
 def test_deep_bucket_pooling_matches_direct(tmp_path):
     rng = np.random.default_rng(99)
     cfg = PipelineConfig()
