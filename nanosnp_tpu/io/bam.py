@@ -156,7 +156,7 @@ class BamFile:
                 _ptr(afs), _ptr(alt_buf), alt_cap, _ptr(alt_off))
             if ret >= 0:
                 break
-            if ret in (-1, -2):
+            if ret in (-1, -2, -3):   # bad handle / ref / region fetch
                 raise NativeUnavailable(f"bam pileup failed: {ret}")
             alt_cap = -ret
         else:
@@ -215,7 +215,7 @@ class BamFile:
                 _ptr(t.first_col), _ptr(t.read_ids), _ptr(nonacgt))
             if ret >= 0:
                 break
-            if ret in (-1, -2):
+            if ret in (-1, -2, -3):   # bad handle / ref / region fetch
                 raise NativeUnavailable(f"bam read_matrices failed: {ret}")
             max_reads = -(ret + 10) + 16
         else:

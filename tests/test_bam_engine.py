@@ -226,6 +226,45 @@ def test_corrupt_bam_files_fail_cleanly(tmp_path):
                 BamFile(str(p))
 
 
+def test_corruption_after_open_fails_cleanly(tmp_path):
+    """Bytes corrupted AFTER the index was built (bit rot, concurrent
+    truncation) must surface as NativeUnavailable at query time — the
+    pread-based block inflate path, not a crash or a silent wrong
+    answer."""
+    from nanosnp_tpu.io.native import NativeUnavailable
+
+    rng = np.random.default_rng(21)
+    genome = random_genome(rng, {"cc": 4000})
+    reads = random_reads(rng, genome["cc"], 0, n_reads=300, read_len=200)
+    p = tmp_path / "c.bam"
+    write_bam(str(p), [("cc", 4000)], reads)
+    with BamFile(str(p)) as bam:
+        assert bam.read_matrices(
+            "cc", np.arange(1000, 1060, dtype=np.int64)) is not None
+
+    import os
+
+    st = p.stat()
+    data = bytearray(p.read_bytes())
+    # flip bytes in a body BGZF member BEYOND the sidecar's 64 KB head-CRC
+    # window, keeping size + mtime: the .nsi still validates, the open
+    # skips the scan, and the corruption is first seen by the query-time
+    # pread inflate
+    off0 = max((64 << 10) + 512, len(data) * 3 // 4)
+    assert off0 + 64 < len(data), "world too small for the corruption spot"
+    for off in range(off0, off0 + 64):
+        data[off] ^= 0xFF
+    p.write_bytes(bytes(data))
+    os.utime(str(p), ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert (tmp_path / "c.bam.nsi").exists()
+
+    with BamFile(str(p)) as bam:
+        with pytest.raises(NativeUnavailable):
+            for s in range(0, 4000, 200):
+                bam.read_matrices(
+                    "cc", np.arange(s + 1, s + 50, dtype=np.int64))
+
+
 @pytest.mark.slow
 def test_long_fuzz_campaign(tmp_path):
     """Broad randomized sweep: BAM engine vs mpileup simulation + text
