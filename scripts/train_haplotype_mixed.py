@@ -30,10 +30,16 @@ TRAIN_WORLDS = [
     ("trB", 1_000_000, 60, 30, 300, 0.03),
     ("trC", 1_000_000, 90, 15, 250, 0.08),
     ("trD", 800_000, 300, 20, 300, 0.05),
+    # low-coverage worlds: NanoSNP's headline operating point is ~10x; a
+    # checkpoint trained only at 15-30x overcalls variants on 10x-depth
+    # matrices (measured: merge ADDED 16k FPs on a 20 Mbp 10x world)
+    ("trE", 1_000_000, 50, 10, 300, 0.05),
+    ("trF", 800_000, 100, 12, 250, 0.06),
 ]
 EVAL_WORLDS = [
     ("evIn", 300_000, 60, 20, 250, 0.06),    # in-distribution
     ("evHard", 300_000, 300, 20, 300, 0.05), # sparse hets + 5% err (v1's gap)
+    ("evLow", 300_000, 100, 10, 300, 0.05),  # the low-coverage point
 ]
 
 
