@@ -157,8 +157,17 @@ inline void aggregate_position(
     else cnt = base_counts[tables().nt4[(uint8_t)kc]];
     if (cnt) items[n_items++] = {kc, cnt};
   }
-  std::stable_sort(items, items + n_items,
-                   [](const Item& a, const Item& b) { return a.cnt > b.cnt; });
+  // stable insertion sort by descending count (<=6 items; std::stable_sort
+  // pays a temp-buffer/merge setup that dominated this 12M-calls/s path)
+  for (int a = 1; a < n_items; ++a) {
+    Item v = items[a];
+    int bkt = a;
+    while (bkt > 0 && items[bkt - 1].cnt < v.cnt) {
+      items[bkt] = items[bkt - 1];
+      --bkt;
+    }
+    items[bkt] = v;
+  }
 
   bool pass_af = n_items > 0 && items[0].key != chr_base;
   bool pass_snp = false, pass_indel = false;

@@ -119,10 +119,8 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
     ++i;
   }
   scratch->n_keys = nk;
-  std::sort(indel_keys.begin(), indel_keys.begin() + nk,
-            [](const RowScratch::KeyCount& a, const RowScratch::KeyCount& b) {
-              return a.key < b.key;
-            });
+  // no sort: aggregate_position is order-independent (sums/maxes) and
+  // build_alt_info re-sorts through its std::map
 
   std::vector<IndelObs>& indels = scratch->indels;
   if (indels.size() < nk) indels.resize(nk);
@@ -133,18 +131,25 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
     ob.fwd = nsp::tables().fwd[(uint8_t)k[1]];
     ob.count = indel_keys[t].count;
     ob.seq.clear();                       // keeps capacity
-    if (ob.is_del) {
-      ob.del_len = (int)k.size() - 1;
-    } else {
-      ob.del_len = 0;
-      for (size_t p = 1; p < k.size(); ++p)
-        ob.seq += (char)std::toupper(k[p]);
-    }
+    // ob.seq materialized lazily (materialize_indel_seqs) — only
+    // candidate rows (~2%) feed build_alt_info
+    ob.del_len = ob.is_del ? (int)k.size() - 1 : 0;
   }
   if (indels.size() > nk) indels.resize(nk);  // shrink pool to the row
 
   nsp::aggregate_position(singles, indels, ref_seq, ref_len, pos1,
                           snp_min_af, indel_min_af, counts, out, nullptr);
+}
+
+// fill insertion seqs (uppercased) for rows that need alt_info
+void materialize_indel_seqs(RowScratch* scratch) {
+  for (size_t t = 0; t < scratch->n_keys; ++t) {
+    const std::string& k = scratch->keys[t].key;
+    IndelObs& ob = scratch->indels[t];
+    if (ob.is_del) continue;
+    for (size_t p = 1; p < k.size(); ++p)
+      ob.seq += (char)std::toupper(k[p]);
+  }
 }
 
 }  // namespace
@@ -247,11 +252,13 @@ int64_t nsp_parse_mpileup(
     depths[r] = (int32_t)res.depth;
     afs[r] = res.af;
     is_candidate[r] = cand ? 1 : 0;
-    if (cand)
+    if (cand) {
+      materialize_indel_seqs(&scratch);
       nsp::build_alt_info(singles, scratch.indels, ref_seq, ref_len, pos1,
                           &alt_strs[r]);
-    else
+    } else {
       alt_strs[r].clear();
+    }
   }
  }  // omp parallel
 
