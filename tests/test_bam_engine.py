@@ -48,6 +48,40 @@ def test_bam_pileup_matches_text_path(tmp_path, seed):
     _assert_same(got, want)
 
 
+def test_bam_pileup_long_insertions_overflow_path(tmp_path):
+    """Insertions >13 bp take the overflow side-pool in the packed-key
+    indel chains (bam_core.cpp nsp_bam_pileup_region); the full seq must
+    still come out in alt_info, identically to the text path. Mixes two
+    distinct long alleles + a packed-length one at the same position,
+    on both strands, at high AF so the site is a candidate."""
+    length = 200
+    rng = np.random.default_rng(99)
+    genome = random_genome(rng, {"chrB": length})
+    seq_str = genome["chrB"]
+    seq = np.frombuffer(seq_str.encode(), dtype=np.uint8).copy()
+    ins_a = "ACGTACGTACGTACGTACGT"      # 20 bp
+    ins_b = "TTTTGGGGCCCCAAAATT"        # 18 bp, distinct
+    ins_c = "ACG"                       # packed path at same site
+    reads = []
+    for i in range(12):
+        ins = (ins_a, ins_b, ins_c)[i % 3]
+        reads.append(Read(
+            name=f"L{i}", ref_id=0, start0=40,
+            cigar=[("M", 30), ("I", len(ins)), ("M", 30)],
+            seq=seq_str[40:70] + ins + seq_str[70:100],
+            quals=[30] * (60 + len(ins)), mapq=60, reverse=(i % 2 == 1)))
+    bam_path = tmp_path / "long_ins.bam"
+    write_bam(str(bam_path), [("chrB", length)], reads)
+    text_lines = simulate_mpileup(genome, {"chrB": reads})
+    want = parse_mpileup_native(("\n".join(text_lines) + "\n").encode(),
+                                "chrB", seq)
+    with BamFile(str(bam_path)) as bam:
+        got = bam.pileup_region("chrB", 0, length, seq)
+    _assert_same(got, want)
+    alt_at_70 = got.alt_info[list(got.positions).index(70)]
+    assert ins_a in alt_at_70 and ins_b in alt_at_70 and ins_c in alt_at_70
+
+
 def test_bam_pileup_chunked_agrees_with_whole(tmp_path):
     genome, seq, reads, bam_path = _setup(tmp_path, 21, n_reads=120,
                                           length=1500)
