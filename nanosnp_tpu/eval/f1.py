@@ -132,6 +132,34 @@ def _gt_equiv(a: str, b: str) -> bool:
     return sorted(a.split("/")) == sorted(b.split("/"))
 
 
+def classify_failed_sites(
+    failed_lines: Iterable[str],
+    truth: Dict[str, "np.ndarray"],
+) -> list:
+    """Reference compare.py:20-27: from a failed-site list (TSV rows
+    starting `ctg\\tpos`), keep rows whose position lies in the confident
+    BED and whose truth zygosity is heterozygous (zy==2) — i.e. classify
+    candidate failures as genuine het false negatives. `truth` is the
+    {contig: [L, 3]} array of (confident, gt21, zygosity) from
+    train.labels.truth_arrays (get_truth.py layout)."""
+    kept = []
+    for line in failed_lines:
+        fields = line.strip().split("\t")
+        if len(fields) < 2:
+            continue
+        ctg, pos = fields[0], fields[1]
+        try:
+            pos = int(pos)
+        except ValueError:
+            continue
+        arr = truth.get(ctg)
+        if arr is None or not (1 <= pos <= len(arr)):
+            continue
+        if arr[pos - 1][0] > 0 and arr[pos - 1][2] == 2:
+            kept.append(line if line.endswith("\n") else line + "\n")
+    return kept
+
+
 def genotype_confusion(
     called_vcf_lines: Iterable[str],
     truth_vcf_lines: Iterable[str],

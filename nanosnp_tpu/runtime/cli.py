@@ -273,7 +273,36 @@ def main(argv=None):
     p.add_argument("--model", required=True)
     p.add_argument("--batch-size", type=int, default=512)
 
+    p = sub.add_parser("compare-failed",
+                       help="filter a failed-site list to confident-BED "
+                            "het-truth rows (reference compare.py)")
+    p.add_argument("--failed", required=True,
+                   help="TSV of failed sites, rows start ctg\\tpos")
+    p.add_argument("--ref", required=True)
+    p.add_argument("--truth-vcf", required=True)
+    p.add_argument("--bed", required=True)
+    p.add_argument("--out", required=True,
+                   help="output file of confirmed het false negatives")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "compare-failed":
+        from ..eval.f1 import classify_failed_sites
+        from ..train import labels as L
+
+        ref = FastaReference(args.ref)
+        seqs = {name: ref.contig(name) for name in ref.names}
+        with open(args.bed) as f:
+            bed = L.parse_bed(f)
+        with open(args.truth_vcf) as f:
+            truth = L.truth_arrays(
+                {n: ref.length(n) for n in ref.names}, seqs, bed, f)
+        with open(args.failed) as f:
+            kept = classify_failed_sites(f, truth)
+        with open(args.out, "w") as f:
+            f.writelines(kept)
+        print({"failed_in": args.failed, "het_fn": len(kept)})
+        return 0
 
     if args.cmd == "sort-vcf":
         from ..decode.sort import sort_vcf_lines

@@ -168,3 +168,38 @@ def test_diff_haplotype_csvs():
     assert len(d.field_diffs) == 1 and d.field_diffs[0][1] == "GG"
     assert not d.identical
     assert diff_haplotype_csvs(a, a).identical
+
+
+def test_compare_failed_cli(tmp_path):
+    """compare-failed = reference compare.py: keep failed-site rows inside
+    the confident BED whose truth zygosity is het (compare.py:20-27)."""
+    from nanosnp_tpu.runtime.cli import main as cli_main
+
+    rng = np.random.default_rng(42)
+    genome = random_genome(rng, {"ctg": 300})
+    write_fasta(str(tmp_path / "ref.fa"), genome)
+    seq = genome["ctg"]
+    # truth: het at 50, hom at 120 (both in BED); het at 250 outside BED
+    def alt_of(pos1):
+        r = seq[pos1 - 1].upper()
+        return "ACGT"[("ACGT".index(r) + 1) % 4]
+    truth = HDR + "".join([
+        _row("ctg", 50, seq[49].upper(), alt_of(50), gt="0/1"),
+        _row("ctg", 120, seq[119].upper(), alt_of(120), gt="1/1"),
+        _row("ctg", 250, seq[249].upper(), alt_of(250), gt="0/1"),
+    ])
+    (tmp_path / "truth.vcf").write_text(truth)
+    (tmp_path / "conf.bed").write_text("ctg\t0\t200\n")
+    failed = "".join(f"ctg\t{p}\textra\n" for p in (50, 120, 150, 250))
+    (tmp_path / "failed.tsv").write_text(failed)
+
+    assert cli_main([
+        "compare-failed", "--failed", str(tmp_path / "failed.tsv"),
+        "--ref", str(tmp_path / "ref.fa"),
+        "--truth-vcf", str(tmp_path / "truth.vcf"),
+        "--bed", str(tmp_path / "conf.bed"),
+        "--out", str(tmp_path / "fn.tsv")]) == 0
+    rows = (tmp_path / "fn.tsv").read_text().splitlines()
+    # only the in-BED het (50) survives: 120 is hom, 150 isn't truth,
+    # 250 is outside the confident BED
+    assert rows == ["ctg\t50\textra"]
