@@ -49,8 +49,10 @@ def _build(lib_path: str) -> None:
         # the reference's asan_makefile equivalent. Loading an ASan .so into
         # an uninstrumented python needs the shared runtime preloaded:
         #   LD_PRELOAD=$(g++ -print-file-name=libasan.so) NSP_NATIVE_ASAN=1 ...
+        # (gcc links libasan.so dynamically for -shared by default;
+        # clang's -shared-libasan spelling is not a gcc option)
         cmd = [c for c in cmd if c != "-O3"]
-        cmd[1:1] = ["-O1", "-g", "-fsanitize=address", "-shared-libasan",
+        cmd[1:1] = ["-O1", "-g", "-fsanitize=address",
                     "-fno-omit-frame-pointer"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
