@@ -513,8 +513,36 @@ def bench_catmodel():
     return {"sites_per_s": round(rate, 1), "batch": n}
 
 
+def _probe_backend(timeout_s: float = 180.0) -> str:
+    """Return the platform a fresh process sees, or force the CPU backend.
+
+    The TPU here rides a relay tunnel that sometimes wedges: jax.devices()
+    then blocks forever inside backend init, which would hang the whole
+    benchmark. Probe in a subprocess with a hard timeout; on hang/error,
+    pin this process to CPU via jax.config (the env var alone is NOT
+    enough — sitecustomize imports jax at interpreter startup, so the
+    platform choice is already captured) and export JAX_PLATFORMS=cpu so
+    child processes (the scaling bench) follow."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return "cpu"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return "cpu-fallback (device backend hung or failed probe)"
+
+
 def main():
-    extra = {}
+    extra = {"platform": _probe_backend()}
     pile = bench_pileup_model()
     extra["pileup"] = pile
     extra["pileup"]["baseline"] = ("reference torch model on this host's CPU"
