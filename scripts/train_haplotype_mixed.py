@@ -35,11 +35,31 @@ TRAIN_WORLDS = [
     # matrices (measured: merge ADDED 16k FPs on a 20 Mbp 10x world)
     ("trE", 1_000_000, 50, 10, 300, 0.05),
     ("trF", 800_000, 100, 12, 250, 0.06),
+    # sparse-het low-coverage worlds (v3): at 10x with hets ~1/1000 bp no
+    # read links adjacent hets (300 bp reads), so the haplotype branch
+    # carries no phasing signal; the model must learn to defer (low qual
+    # -> merge falls back to the pileup call). Measured gap: the v2
+    # checkpoint's merge TRAILED pileup 0.627 vs 0.691 on a 20 Mbp
+    # 10x/sparse world it never trained on.
+    #
+    # v3 A/B OUTCOME (2026-08-18): NOT SHIPPED. The sparse worlds taught
+    # the model to rescue far more aggressively (20 Mbp 20x world:
+    # 11085 rescued vs v2's 6045), which cratered precision at normal
+    # coverage — big-world merge F1 0.833 vs v2's 0.905, BELOW the 0.845
+    # pileup baseline. Small-world wins were marginal (evSparse 0.851 vs
+    # 0.846; evIn/evHard +<0.001) and evLow regressed (0.906 vs 0.912).
+    # The shipped checkpoint remains v2 (trA-trF). Any future attempt at
+    # the sparse-het gap should add a *deferral* signal (e.g. phase-block
+    # membership as a feature) rather than more sparse data, which just
+    # shifts the rescue threshold globally.
+    ("trG", 1_500_000, 500, 10, 300, 0.05),
+    ("trH", 1_200_000, 500, 12, 250, 0.06),
 ]
 EVAL_WORLDS = [
     ("evIn", 300_000, 60, 20, 250, 0.06),    # in-distribution
     ("evHard", 300_000, 300, 20, 300, 0.05), # sparse hets + 5% err (v1's gap)
     ("evLow", 300_000, 100, 10, 300, 0.05),  # the low-coverage point
+    ("evSparse", 400_000, 500, 10, 300, 0.05),  # the v2 gap geometry
 ]
 
 
