@@ -160,6 +160,88 @@ bool inflate_member(FILE* f, uint64_t file_off, std::vector<uint8_t>& out,
   return true;
 }
 
+enum { OP_M = 0, OP_I, OP_D, OP_N, OP_S, OP_H, OP_P, OP_EQ, OP_X };
+
+// generic aux-field scan: on a tag match sets *typep to the type char and
+// *valp / *szp to the value bytes (after the type byte) and their size
+bool aux_find(const uint8_t* aux, size_t aux_len, const char tag[2],
+              char* typep, const uint8_t** valp, size_t* szp) {
+  const uint8_t* p = aux;
+  const uint8_t* end = aux + aux_len;
+  while (p + 3 <= end) {
+    char t0 = (char)p[0], t1 = (char)p[1], type = (char)p[2];
+    p += 3;
+    size_t sz = 0;
+    switch (type) {
+      case 'A': case 'c': case 'C': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      case 'Z': case 'H': {
+        const uint8_t* q = p;
+        while (q < end && *q) ++q;
+        sz = (size_t)(q - p) + 1;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > end) return false;
+        char sub = (char)p[0];
+        uint32_t cnt;
+        std::memcpy(&cnt, p + 1, 4);
+        size_t esz = (sub == 'c' || sub == 'C') ? 1
+                     : (sub == 's' || sub == 'S') ? 2 : 4;
+        sz = 5 + (size_t)cnt * esz;
+        break;
+      }
+      default:
+        return false;
+    }
+    if (p + sz > end || p + sz < p) return false;
+    if (t0 == tag[0] && t1 == tag[1]) {
+      *typep = type;
+      *valp = p;
+      *szp = sz;
+      return true;
+    }
+    p += sz;
+  }
+  return false;
+}
+
+// htslib long-CIGAR convention (SAM spec §4.2.2 / hts.c): records with
+// >65535 CIGAR ops are written with a placeholder "<l_seq>S<ref_span>N"
+// 2-op CIGAR and the real ops in a CG:B,I aux tag. samtools/minimap2 emit
+// this for ultra-long ONT reads, so the pileup / read-matrix walkers must
+// see the real ops (the placeholder would silently soft-clip the whole
+// read out of every downstream stage). Returns with r->cigar pointing into
+// the CG array (same lifetime as the record buffer). A CG array whose
+// query-consuming ops don't sum to l_seq is ignored (guards seq/qual
+// overruns on malformed files).
+void resolve_long_cigar(BamRecord* r) {
+  if (r->n_cigar != 2 ||
+      (r->cigar[0] & 0xf) != OP_S ||
+      (int64_t)(r->cigar[0] >> 4) != (int64_t)r->l_seq ||
+      (r->cigar[1] & 0xf) != OP_N)
+    return;
+  char type;
+  const uint8_t* val;
+  size_t sz;
+  if (!aux_find(r->aux, r->aux_len, "CG", &type, &val, &sz)) return;
+  if (type != 'B' || sz < 5 || (char)val[0] != 'I') return;
+  uint32_t cnt;
+  std::memcpy(&cnt, val + 1, 4);
+  if (cnt == 0 || sz != 5 + (size_t)cnt * 4) return;
+  const uint32_t* ops = (const uint32_t*)(val + 5);
+  int64_t qlen = 0;
+  for (uint32_t ci = 0; ci < cnt; ++ci) {
+    uint32_t op = ops[ci] & 0xf;
+    if (op == OP_M || op == OP_I || op == OP_S || op == OP_EQ || op == OP_X)
+      qlen += ops[ci] >> 4;
+  }
+  if (qlen != (int64_t)r->l_seq) return;
+  r->cigar = ops;
+  r->n_cigar = cnt;
+}
+
 // parse a record laid out at `p` (block_size field first); returns false if
 // fewer than `avail` bytes suffice
 bool parse_record(const uint8_t* p, size_t avail, BamRecord* r,
@@ -187,6 +269,7 @@ bool parse_record(const uint8_t* p, size_t avail, BamRecord* r,
   if (q > b + block_size) return false;
   r->aux_len = (size_t)(b + block_size - q);
   *rec_len = 4 + (uint32_t)block_size;
+  resolve_long_cigar(r);
   return true;
 }
 
@@ -200,8 +283,6 @@ const char SEQ16_CHAR[16] = {'=', 'A', 'C', 'M', 'G', 'R', 'S', 'V',
 const int8_t SEQ16_NT4[16] = {4, 0, 1, 4, 2, 4, 4, 4,
                               3, 4, 4, 4, 4, 4, 4, 4};
 
-enum { OP_M = 0, OP_I, OP_D, OP_N, OP_S, OP_H, OP_P, OP_EQ, OP_X };
-
 int64_t ref_span_of(const BamRecord& r) {
   int64_t span = 0;
   for (uint32_t ci = 0; ci < r.n_cigar; ++ci) {
@@ -213,49 +294,19 @@ int64_t ref_span_of(const BamRecord& r) {
 }
 
 bool aux_int(const BamRecord& r, const char tag[2], int64_t* out) {
-  const uint8_t* p = r.aux;
-  const uint8_t* end = r.aux + r.aux_len;
-  while (p + 3 <= end) {
-    char t0 = (char)p[0], t1 = (char)p[1], type = (char)p[2];
-    p += 3;
-    size_t sz = 0;
-    switch (type) {
-      case 'A': case 'c': case 'C': sz = 1; break;
-      case 's': case 'S': sz = 2; break;
-      case 'i': case 'I': case 'f': sz = 4; break;
-      case 'Z': case 'H': {
-        const uint8_t* q = p;
-        while (q < end && *q) ++q;
-        sz = (size_t)(q - p) + 1;
-        break;
-      }
-      case 'B': {
-        if (p + 5 > end) return false;
-        char sub = (char)p[0];
-        uint32_t cnt = *(const uint32_t*)(p + 1);
-        size_t esz = (sub == 'c' || sub == 'C') ? 1
-                     : (sub == 's' || sub == 'S') ? 2 : 4;
-        sz = 5 + (size_t)cnt * esz;
-        break;
-      }
-      default:
-        return false;
-    }
-    if (p + sz > end) return false;
-    if (t0 == tag[0] && t1 == tag[1]) {
-      switch (type) {
-        case 'c': *out = *(const int8_t*)p; return true;
-        case 'C': *out = *(const uint8_t*)p; return true;
-        case 's': *out = *(const int16_t*)p; return true;
-        case 'S': *out = *(const uint16_t*)p; return true;
-        case 'i': *out = *(const int32_t*)p; return true;
-        case 'I': *out = *(const uint32_t*)p; return true;
-        default: return false;
-      }
-    }
-    p += sz;
+  char type;
+  const uint8_t* p;
+  size_t sz;
+  if (!aux_find(r.aux, r.aux_len, tag, &type, &p, &sz)) return false;
+  switch (type) {
+    case 'c': *out = *(const int8_t*)p; return true;
+    case 'C': *out = *(const uint8_t*)p; return true;
+    case 's': { int16_t v; std::memcpy(&v, p, 2); *out = v; return true; }
+    case 'S': { uint16_t v; std::memcpy(&v, p, 2); *out = v; return true; }
+    case 'i': { int32_t v; std::memcpy(&v, p, 4); *out = v; return true; }
+    case 'I': { uint32_t v; std::memcpy(&v, p, 4); *out = v; return true; }
+    default: return false;
   }
-  return false;
 }
 
 // fetch inflated bytes [lo, hi) into buf (thread-safe per handle)

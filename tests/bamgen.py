@@ -31,6 +31,11 @@ class Read:
     reverse: bool = False
     flag_extra: int = 0               # additional flags (secondary etc.)
     hp: Optional[int] = None          # HP tag
+    long_cigar: bool = False          # emit the htslib CG:B,I convention:
+                                      # placeholder "<l_seq>S<span>N" CIGAR,
+                                      # real ops in a CG aux tag (written by
+                                      # samtools/minimap2 when a record has
+                                      # >65535 ops — ultra-long ONT reads)
 
     @property
     def flag(self) -> int:
@@ -61,8 +66,14 @@ BGZF_EOF = bytes.fromhex(
 
 def encode_record(r: Read) -> bytes:
     name = r.name.encode() + b"\0"
-    cigar = b"".join(struct.pack("<I", (l << 4) | CIGAR_OPS.index(op))
-                     for op, l in r.cigar)
+    cigar_ops = [(l << 4) | CIGAR_OPS.index(op) for op, l in r.cigar]
+    cg_aux = b""
+    if r.long_cigar:
+        cg_aux = (b"CGBI" + struct.pack("<I", len(cigar_ops))
+                  + b"".join(struct.pack("<I", c) for c in cigar_ops))
+        cigar_ops = [(len(r.seq) << 4) | CIGAR_OPS.index("S"),
+                     (r.ref_span() << 4) | CIGAR_OPS.index("N")]
+    cigar = b"".join(struct.pack("<I", c) for c in cigar_ops)
     seq4 = bytearray((len(r.seq) + 1) // 2)
     for i, base in enumerate(r.seq):
         code = SEQ16_IDX.get(base.upper(), 15)
@@ -74,12 +85,13 @@ def encode_record(r: Read) -> bytes:
     aux = b""
     if r.hp is not None:
         aux = b"HP" + b"i" + struct.pack("<i", r.hp)
+    aux += cg_aux
     body = struct.pack(
         "<iiBBHHHiiii",
         r.ref_id, r.start0,
         len(name), r.mapq,
         4680,  # bin (unused by our reader)
-        len(r.cigar), r.flag,
+        len(cigar_ops), r.flag,
         len(r.seq), -1, -1, 0,
     ) + name + cigar + bytes(seq4) + qual + aux
     return struct.pack("<i", len(body)) + body

@@ -503,3 +503,89 @@ def test_nonacgt_counter_and_chunk_drop(tmp_path):
     finally:
         default.close()
         compat.close()
+
+
+def test_long_cigar_cg_convention(tmp_path):
+    """htslib stores >65535-op CIGARs as a '<l_seq>S<span>N' placeholder
+    plus the real ops in a CG:B,I aux tag (SAM spec 4.2.2) — routine for
+    ultra-long ONT reads. The engine must walk the CG ops: with only the
+    placeholder every such read would silently vanish from pileup, read
+    matrices and phasing (bam_core.cpp resolve_long_cigar)."""
+    import dataclasses
+
+    rng = np.random.default_rng(77)
+    genome = random_genome(rng, {"chrB": 700})
+    seq = np.frombuffer(genome["chrB"].encode(), dtype=np.uint8).copy()
+    reads = random_reads(rng, genome["chrB"], 0, n_reads=60, with_hp=True)
+    plain = tmp_path / "plain.bam"
+    cg = tmp_path / "cg.bam"
+    write_bam(str(plain), [("chrB", 700)], reads)
+    # every read through the CG convention (worst case: all records)
+    write_bam(str(cg), [("chrB", 700)],
+              [dataclasses.replace(r, long_cigar=True) for r in reads])
+
+    positions1 = np.sort(rng.choice(np.arange(50, 650), size=30,
+                                    replace=False)).astype(np.int64)
+    with BamFile(str(plain)) as b1, BamFile(str(cg)) as b2:
+        _assert_same(b2.pileup_region("chrB", 0, 700, seq),
+                     b1.pileup_region("chrB", 0, 700, seq))
+        m1 = b1.read_matrices("chrB", positions1, min_mq=0)
+        m2 = b2.read_matrices("chrB", positions1, min_mq=0)
+    for key in ("sequences", "baseq", "mapq", "hap_tags", "first_col"):
+        np.testing.assert_array_equal(m2[key], m1[key])
+
+
+def test_long_cigar_placeholder_without_cg_is_softclip(tmp_path):
+    """A literal S+N CIGAR with no CG tag has no aligned ops: the read
+    contributes nothing (and must not crash the walkers)."""
+    L = 300
+    rng = np.random.default_rng(78)
+    genome = random_genome(rng, {"chrB": L})
+    seq = np.frombuffer(genome["chrB"].encode(), dtype=np.uint8).copy()
+    normal = Read(name="n", ref_id=0, start0=100,
+                  cigar=[("M", 50)], seq=genome["chrB"][100:150],
+                  quals=[30] * 50)
+    bare = Read(name="b", ref_id=0, start0=100,
+                cigar=[("S", 50), ("N", 50)], seq=genome["chrB"][100:150],
+                quals=[30] * 50)
+    path = tmp_path / "bare.bam"
+    write_bam(str(path), [("chrB", L)], [normal, bare])
+    with BamFile(str(path)) as bam:
+        pile = bam.pileup_region("chrB", 0, L, seq, min_coverage=1)
+        m = bam.read_matrices("chrB", np.array([120], dtype=np.int64),
+                              min_mq=0)
+    assert (pile.depths <= 1).all()          # only the normal read counts
+    assert m["sequences"].shape[0] == 1
+
+
+def test_long_cigar_malformed_cg_is_ignored(tmp_path):
+    """A CG array whose query-consuming ops don't sum to l_seq must be
+    rejected (falls back to the placeholder = read skipped) — guards
+    seq/qual buffer overruns on corrupt files."""
+    import struct as _struct
+
+    from bamgen import BGZF_EOF, bgzf_block, encode_record
+
+    L = 300
+    rng = np.random.default_rng(79)
+    genome = random_genome(rng, {"chrB": L})
+    seq = np.frombuffer(genome["chrB"].encode(), dtype=np.uint8).copy()
+    good = Read(name="g", ref_id=0, start0=100,
+                cigar=[("M", 50)], seq=genome["chrB"][100:150],
+                quals=[30] * 50, long_cigar=True)
+    rec = bytearray(encode_record(good))
+    # corrupt the CG op: M50 -> M90 (query sum now exceeds l_seq)
+    tag_at = rec.index(b"CGBI")
+    (op,) = _struct.unpack_from("<I", rec, tag_at + 8)
+    assert op == (50 << 4) | 0
+    _struct.pack_into("<I", rec, tag_at + 8, (90 << 4) | 0)
+
+    name = "chrB".encode() + b"\0"
+    hdr = (b"BAM\1" + _struct.pack("<i", 0) + _struct.pack("<i", 1)
+           + _struct.pack("<i", len(name)) + name + _struct.pack("<i", L))
+    path = tmp_path / "badcg.bam"
+    with open(path, "wb") as f:
+        f.write(bgzf_block(hdr + bytes(rec)) + BGZF_EOF)
+    with BamFile(str(path)) as bam:
+        pile = bam.pileup_region("chrB", 0, L, seq, min_coverage=1)
+    assert len(pile.positions) == 0          # read fell back to soft-clip
