@@ -90,6 +90,14 @@ class MergeConfig:
     quality: float = C.MERGE_QUAL
     hap_quality: float = C.MERGE_HAP_QUAL
     pileup_rescue_quality: float = C.MERGE_PILEUP_RESCUE_QUAL
+    # Deferral gate (no reference counterpart, off by default): candidates
+    # whose covering reads are phased below this fraction carry no phasing
+    # signal in the hap channel, so the haplotype model is blind there and
+    # its rescue is noise; s5 skips emitting such rows so merge falls back
+    # to the pileup call (merge.py absent-site rule). Measured rationale in
+    # scripts/train_haplotype_mixed.py (v3 A/B): sparse-het low-coverage
+    # worlds are exactly this regime.
+    defer_unphased_frac: float = 0.0
 
 
 @dataclass

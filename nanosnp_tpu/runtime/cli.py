@@ -76,6 +76,12 @@ def main(argv=None):
                         "{contig}.bam copies (whatshap-haplotag's artifact) "
                         "for external tools; the pipeline itself does not "
                         "need them")
+    p.add_argument("--defer-unphased-frac", type=float, default=None,
+                   help="skip haplotype-model rescue at candidates whose "
+                        "covering reads are phased below this fraction "
+                        "(merge keeps the pileup call there); 0 = reference "
+                        "behavior. No reference counterpart — see "
+                        "MergeConfig.defer_unphased_frac")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address host:port "
                         "(or env NSP_COORDINATOR)")
@@ -335,6 +341,8 @@ def main(argv=None):
     cfg = load_config(args.config)
     if args.threads:
         cfg.threads = args.threads
+    if getattr(args, "defer_unphased_frac", None) is not None:
+        cfg.merge.defer_unphased_frac = args.defer_unphased_frac
     os.makedirs(args.output, exist_ok=True)
 
     if args.cmd == "s1-features":

@@ -822,12 +822,20 @@ def stage_haplotype_predict(
     n_sites = 0
     t0 = time.monotonic()
 
+    defer_frac = cfg.merge.defer_unphased_frac
+    n_deferred = [0]
+
     def drain_one():
         meta, res = pending.pop(0)
         gt = np.asarray(res[0])[: len(meta)]
         gt_arg = gt.argmax(axis=1)
         gt_max = gt.max(axis=1)
-        for j, (ctg, pos) in enumerate(meta):
+        for j, (ctg, pos, phased) in enumerate(meta):
+            if phased < defer_frac:
+                # unphased-site deferral (MergeConfig.defer_unphased_frac):
+                # no row emitted -> merge keeps the pileup call
+                n_deferred[0] += 1
+                continue
             qual = calculate_score(float(gt_max[j]))
             results.append(((C.contig_sort_key(ctg), pos),
                             f"{ctg}\t{pos}\t{C.GT21_LABELS[gt_arg[j]]}\t{qual}\n"))
@@ -927,18 +935,32 @@ def stage_haplotype_predict(
             else:
                 args.append(ref_position_codes(
                     seq, shard.group_positions).astype(np.int8))
+        # per-candidate phased-read fraction at the candidate column of the
+        # haplotype view: reads covering the column (!= PAD) with HP 1/2.
+        # 1.0 when the gate is off keeps the meta shape without the cost.
+        if defer_frac > 0.0:
+            col = shard.haplotype["hap"][:, :, shard.haplotype["hap"].shape[2] // 2]
+            covering = np.maximum((col != C.PAD_VALUE).sum(axis=1), 1)
+            fracs = ((col == 1) | (col == 2)).sum(axis=1) / covering
+        else:
+            fracs = np.ones(len(shard))
         key = (dp_b, dh_b)
         pool = pools.setdefault(key, {"chunks": [], "meta": []})
         pool["chunks"].append(args)
         pool["meta"].extend(
-            (shard.contig, int(p)) for p in shard.candidate_positions)
+            (shard.contig, int(p), float(fr))
+            for p, fr in zip(shard.candidate_positions, fracs))
         n_sites += len(shard)
         if len(pool["meta"]) >= model_bs:
             flush(key, final=False)
     flush_contig()
     out_f.close()
     dt = time.monotonic() - t0
-    return {"sites": n_sites, "sites_per_s": round(n_sites / dt, 1) if dt else 0}
+    m = {"sites": n_sites,
+         "sites_per_s": round(n_sites / dt, 1) if dt else 0}
+    if defer_frac > 0.0:
+        m["deferred"] = n_deferred[0]
+    return m
 
 
 def _depth_scaled_batch(batch_size: int, depth_bucket: int,
