@@ -37,11 +37,14 @@ def _world(tmp_path, rng, cfg, n=30, depth=20):
     write_fasta(str(tmp_path / "ref.fa"), genome)
     ref = FastaReference(str(tmp_path / "ref.fa"))
     shard = _random_shard(rng, "chrU", n, depth, flank, adj)
-    # first half: untag every read (hap -> 0 at covered cells) so the
-    # candidate column's phased fraction is 0; second half keeps the
-    # random 1/2/3 tags (fraction ~2/3 > any reasonable threshold)
+    # first half: untag every read so the candidate column's phased
+    # fraction is 0 — quarter 1 uses 0 (seq-gap cells), quarter 2 uses 3
+    # (the production untagged-read value, reference group-3 convention);
+    # second half keeps the random 1/2/3 tags (fraction ~2/3 > threshold)
     h = shard.haplotype["hap"]
-    h[: n // 2] = np.where(h[: n // 2] == C.PAD_VALUE, C.PAD_VALUE, 0)
+    q = n // 4
+    h[:q] = np.where(h[:q] == C.PAD_VALUE, C.PAD_VALUE, 0)
+    h[q: n // 2] = np.where(h[q: n // 2] == C.PAD_VALUE, C.PAD_VALUE, 3)
     shard_dir = tmp_path / "shards"
     shard_dir.mkdir()
     bins.save_haplotype_shard(str(shard_dir / "chrU_d32x32"), shard)
