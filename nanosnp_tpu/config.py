@@ -96,7 +96,11 @@ class MergeConfig:
     # its rescue is noise; s5 skips emitting such rows so merge falls back
     # to the pileup call (merge.py absent-site rule). Measured rationale in
     # scripts/train_haplotype_mixed.py (v3 A/B): sparse-het low-coverage
-    # worlds are exactly this regime.
+    # worlds are exactly this regime. The fraction is computed on the
+    # HP-sorted, depth-capped shard rows, so at over-coverage sites it is
+    # biased UPWARD (phased rows sort first and survive the cap) — fine at
+    # the default 0.01; if ever raised much higher, compute it from
+    # uncapped per-group tag counts in s4 instead.
     defer_unphased_frac: float = 0.0
 
 

@@ -11,6 +11,8 @@ Replaces the reference's run_caller.sh entry point. Commands:
 from __future__ import annotations
 
 import argparse
+import dataclasses
+import json
 import os
 import sys
 
@@ -1172,16 +1174,21 @@ def _run_call(args, cfg) -> int:
             return stages.stage_haplotype_predict(
                 cfg, ref, hap_shards, hap_csv, params)
 
+        # fingerprints: the merge knobs feed s5 (deferral gate drops rows
+        # there) and s6; changing them on a resumed run must invalidate
+        # the stale artifacts (pipeline.Stage.fingerprint).
+        merge_fp = json.dumps(dataclasses.asdict(cfg.merge), sort_keys=True)
         stage_list += [
             Stage("s3_phasing", s3, "whatshap phase + haplotag"),
             Stage("s4_haplotype_features", s4,
                   "group selection + read matrices"),
             Stage("s5_haplotype_predict", s5,
-                  "haplotype model inference -> haplotype.csv"),
+                  "haplotype model inference -> haplotype.csv",
+                  fingerprint=f"defer={cfg.merge.defer_unphased_frac}"),
             Stage("s6_merge",
                   lambda **kw: stages.stage_merge(cfg, pileup_vcf, hap_csv,
                                                   merge_vcf),
-                  "merge calls"),
+                  "merge calls", fingerprint=merge_fp),
         ]
         # kick the s5 model compile now: it is the longest compile in the
         # pipeline (minutes cold on TPU) with config-fixed shapes, so it
@@ -1195,6 +1202,10 @@ def _run_call(args, cfg) -> int:
     if args.no_resume or not os.path.exists(s2_done):
         stages.prewarm_pileup_model(cfg, args.pileup_model)
     runner.run(stage_list, resume=not args.no_resume)
+    # outstanding prewarm compiles abort the interpreter if still running
+    # at shutdown (possible when a stage had zero sites and never waited
+    # on the compiled program) — join them before returning.
+    stages.join_prewarm_threads()
 
     if plan.n_hosts > 1:
         # all hosts finished their contig shard; host 0 gathers the final

@@ -20,6 +20,13 @@ class Stage:
     name: str
     fn: Callable[..., Optional[dict]]   # returns optional metrics dict
     description: str = ""
+    # Config fingerprint stored in the .done marker. On resume, a marker
+    # whose stored fingerprint differs from the stage's current one is
+    # stale (the user changed a knob that feeds this stage, e.g.
+    # --defer-unphased-frac into s5) and the stage reruns — without this,
+    # rerunning `call` in the same output dir silently reuses the old
+    # artifact and the flag has no effect.
+    fingerprint: Optional[str] = None
 
 
 @dataclass
@@ -56,12 +63,29 @@ class PipelineRunner:
         return os.path.join(self.marker_dir, f"{name}.done")
 
     def run(self, stages: List[Stage], resume: bool = True, **ctx) -> List[StageResult]:
+        # once any stage actually runs, every later marker is stale (its
+        # input artifact just changed), so the skip window closes.
+        invalidated = False
         for st in stages:
             marker = self._marker(st.name)
-            if resume and os.path.exists(marker):
+            skip = resume and not invalidated and os.path.exists(marker)
+            if skip and st.fingerprint is not None:
+                try:
+                    with open(marker) as f:
+                        stored = json.load(f).get("fingerprint")
+                except (OSError, ValueError):
+                    stored = None
+                if stored != st.fingerprint:
+                    self.log.info(
+                        "stage %s: marker fingerprint %r != current %r "
+                        "(config changed), rerunning",
+                        st.name, stored, st.fingerprint)
+                    skip = False
+            if skip:
                 self.log.info("stage %s: already done, skipping", st.name)
                 self.results.append(StageResult(st.name, 0.0, True))
                 continue
+            invalidated = True
             self.log.info("stage %s: start (%s)", st.name, st.description)
             t0 = time.monotonic()
             from ..utils.profiling import maybe_profile
@@ -70,7 +94,8 @@ class PipelineRunner:
                 metrics = st.fn(**ctx) or {}
             dt = time.monotonic() - t0
             with open(marker, "w") as f:
-                json.dump({"seconds": dt, "metrics": metrics}, f)
+                json.dump({"seconds": dt, "metrics": metrics,
+                           "fingerprint": st.fingerprint}, f)
             self.log.info("stage %s: done in %.1fs %s", st.name, dt,
                           json.dumps(metrics) if metrics else "")
             self.results.append(StageResult(st.name, dt, False, metrics))

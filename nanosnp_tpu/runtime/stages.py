@@ -618,7 +618,7 @@ def prewarm_pileup_model(cfg: PipelineConfig,
 
     t = threading.Thread(target=_warm, name="s2-prewarm", daemon=True)
     t.start()
-    return t
+    return _register_prewarm(t)
 
 
 def haplotype_model_predictor(cfg: PipelineConfig, params):
@@ -705,6 +705,25 @@ def _device_concat():
 
 _WARMED_FEATURIZERS: set = set()
 
+# Every prewarm thread registers here; the driver joins them before
+# returning. Daemon compile threads still running XLA work at interpreter
+# shutdown abort the process (pybind11 "exception not rethrown" -> SIGABRT)
+# — seen when a stage finishes with zero sites so nothing ever waited on
+# the compiled program.
+_PREWARM_THREADS: List[threading.Thread] = []
+
+
+def _register_prewarm(t: threading.Thread) -> threading.Thread:
+    _PREWARM_THREADS.append(t)
+    return t
+
+
+def join_prewarm_threads(timeout: Optional[float] = None) -> None:
+    """Wait for outstanding prewarm compiles (driver calls this before
+    exit). Compiles are not cancellable, so join rather than abandon."""
+    while _PREWARM_THREADS:
+        _PREWARM_THREADS.pop().join(timeout)
+
 
 def _maybe_prewarm_featurizer(cfg: PipelineConfig, key: tuple) -> None:
     """s4 hook: compile the featurizer for a newly-seen bucket pair in the
@@ -745,7 +764,7 @@ def prewarm_haplotype_featurizer(cfg: PipelineConfig, dp_b: int,
 
     t = threading.Thread(target=_warm, name="s5-feat-prewarm", daemon=True)
     t.start()
-    return t
+    return _register_prewarm(t)
 
 
 def prewarm_haplotype_model(cfg: PipelineConfig, model_path: str) -> threading.Thread:
@@ -775,7 +794,7 @@ def prewarm_haplotype_model(cfg: PipelineConfig, model_path: str) -> threading.T
 
     t = threading.Thread(target=_warm, name="s5-prewarm", daemon=True)
     t.start()
-    return t
+    return _register_prewarm(t)
 
 
 def stage_haplotype_predict(
@@ -826,16 +845,13 @@ def stage_haplotype_predict(
     n_deferred = [0]
 
     def drain_one():
+        # deferral already happened at shard-load time (rows filtered
+        # before featurize/model batches), so every meta row emits.
         meta, res = pending.pop(0)
         gt = np.asarray(res[0])[: len(meta)]
         gt_arg = gt.argmax(axis=1)
         gt_max = gt.max(axis=1)
-        for j, (ctg, pos, phased) in enumerate(meta):
-            if phased < defer_frac:
-                # unphased-site deferral (MergeConfig.defer_unphased_frac):
-                # no row emitted -> merge keeps the pileup call
-                n_deferred[0] += 1
-                continue
+        for j, (ctg, pos) in enumerate(meta):
             qual = calculate_score(float(gt_max[j]))
             results.append(((C.contig_sort_key(ctg), pos),
                             f"{ctg}\t{pos}\t{C.GT21_LABELS[gt_arg[j]]}\t{qual}\n"))
@@ -910,6 +926,35 @@ def stage_haplotype_predict(
         if cur_contig[0] is not None and shard.contig != cur_contig[0]:
             flush_contig()
         cur_contig[0] = shard.contig
+        # unphased-site deferral (MergeConfig.defer_unphased_frac): filter
+        # BEFORE pooling so deferred sites never enter the featurize/model
+        # batches — in the sparse regime the gate targets (~70% deferred),
+        # this drops most of s5's device compute, not just the CSV rows.
+        # No row emitted -> merge keeps the pileup call (absent-site rule).
+        # Fraction = phased reads (HP 1/2) over reads covering the
+        # candidate column of the haplotype view. Computed on the
+        # HP-sorted, depth-capped shard rows, so at over-coverage sites it
+        # is biased upward (phased rows sort first and survive the cap);
+        # acceptable at the default 0.01 threshold — recompute from
+        # uncapped s4 tag counts if the threshold is ever raised.
+        if defer_frac > 0.0:
+            col = shard.haplotype["hap"][:, :, shard.haplotype["hap"].shape[2] // 2]
+            covering = np.maximum((col != C.PAD_VALUE).sum(axis=1), 1)
+            fracs = ((col == 1) | (col == 2)).sum(axis=1) / covering
+            keep = fracs >= defer_frac
+            n_drop = int((~keep).sum())
+            if n_drop:
+                n_deferred[0] += n_drop
+                n_sites += n_drop   # deferred sites still count as seen
+                shard = bins.HaplotypeShard(
+                    contig=shard.contig,
+                    candidate_positions=shard.candidate_positions[keep],
+                    group_positions=shard.group_positions[keep],
+                    pileup={k: v[keep] for k, v in shard.pileup.items()},
+                    haplotype={k: v[keep] for k, v in shard.haplotype.items()},
+                )
+                if len(shard) == 0:
+                    continue
         seq = ref.contig(shard.contig)
         dp_b = _bucket(shard.pileup["sequences"].shape[1])
         dh_b = _bucket(shard.haplotype["sequences"].shape[1])
@@ -935,21 +980,11 @@ def stage_haplotype_predict(
             else:
                 args.append(ref_position_codes(
                     seq, shard.group_positions).astype(np.int8))
-        # per-candidate phased-read fraction at the candidate column of the
-        # haplotype view: reads covering the column (!= PAD) with HP 1/2.
-        # 1.0 when the gate is off keeps the meta shape without the cost.
-        if defer_frac > 0.0:
-            col = shard.haplotype["hap"][:, :, shard.haplotype["hap"].shape[2] // 2]
-            covering = np.maximum((col != C.PAD_VALUE).sum(axis=1), 1)
-            fracs = ((col == 1) | (col == 2)).sum(axis=1) / covering
-        else:
-            fracs = np.ones(len(shard))
         key = (dp_b, dh_b)
         pool = pools.setdefault(key, {"chunks": [], "meta": []})
         pool["chunks"].append(args)
         pool["meta"].extend(
-            (shard.contig, int(p), float(fr))
-            for p, fr in zip(shard.candidate_positions, fracs))
+            (shard.contig, int(p)) for p in shard.candidate_positions)
         n_sites += len(shard)
         if len(pool["meta"]) >= model_bs:
             flush(key, final=False)
