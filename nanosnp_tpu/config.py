@@ -116,6 +116,9 @@ class OptimConfig:
     label_smoothing: float = 0.1
     lookahead_sync_period: int = 6
     lookahead_slow_step: float = 0.5
+    # ranger21 only: its warmup/warmdown schedule needs the planned total
+    # epoch count (reference HaplotypeModel/optim.py:121 num_epochs)
+    ranger21_epochs: int = 30
 
 
 @dataclass

@@ -54,8 +54,15 @@ def _build(lib_path: str) -> None:
         cmd = [c for c in cmd if c != "-O3"]
         cmd[1:1] = ["-O1", "-g", "-fsanitize=address",
                     "-fno-omit-frame-pointer"]
+    # the ASan workflow preloads libasan.so into *this* process; the g++
+    # child must not inherit that (LeakSanitizer reports g++'s own internal
+    # leaks and fails the build with a non-zero exit)
+    env = dict(os.environ)
+    env.pop("LD_PRELOAD", None)
+    env["ASAN_OPTIONS"] = "detect_leaks=0"
     try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        subprocess.run(cmd, check=True, capture_output=True, text=True,
+                       env=env)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         msg = getattr(e, "stderr", str(e))
         raise NativeUnavailable(f"native build failed: {msg}") from e

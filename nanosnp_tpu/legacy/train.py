@@ -30,17 +30,22 @@ def cal_label(v1: int, v2: int) -> Optional[int]:
 
 
 def select_training_sites(labels: np.ndarray,
-                          rng: np.random.Generator) -> np.ndarray:
+                          rng: np.random.Generator,
+                          n_classes: int = 10) -> np.ndarray:
     """labels [N, 3] (confident, gt21, zy) -> shuffled row indices per the
     reference filter (dataset.py:185-196): confident variants with an SNV
     gt class, plus confident unlabeled sites downsampled to the variant
     count. One guard beyond the reference: non-variant rows also require
-    an SNV-block gt (the reference leaves non-ACGT-reference sites carrying
+    an in-head gt (the reference leaves non-ACGT-reference sites carrying
     raw ASCII gt codes in the label array, which would index outside the
-    10-class head)."""
+    head). n_classes=15 selects the config_prev 15-class variant: GT21
+    indices 0-14 (AA..TT, DD, AD..TD) are exactly cal_label's unordered
+    pair space, so the deletion-pair classes train too."""
     conf, gt, zy = labels[:, 0], labels[:, 1], labels[:, 2]
-    variants = np.flatnonzero((conf > 0) & (zy >= 0) & (gt >= 0) & (gt < 10))
-    nonvar = np.flatnonzero((conf > 0) & (zy == -1) & (gt >= 0) & (gt < 10))
+    variants = np.flatnonzero((conf > 0) & (zy >= 0) & (gt >= 0)
+                              & (gt < n_classes))
+    nonvar = np.flatnonzero((conf > 0) & (zy == -1) & (gt >= 0)
+                            & (gt < n_classes))
     if len(variants) < len(nonvar):
         nonvar = rng.choice(nonvar, size=len(variants), replace=False)
     idx = np.concatenate([variants, nonvar])

@@ -233,6 +233,10 @@ def main(argv=None):
     p.add_argument("--max-depth", type=int, default=20)
     p.add_argument("--min-depth", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gt-classes", type=int, default=10, choices=(10, 15),
+                   help="10 = shipped legacy configs (gt_num_class: 10); "
+                        "15 = the config_prev cal_label pair space "
+                        "(dataset.py:26-57) incl. deletion pairs")
 
     p = sub.add_parser("legacy-eval",
                        help="legacy CatModel accuracy vs truth labels over "
@@ -573,9 +577,11 @@ def _run_legacy_train(args, cfg) -> int:
     g1 = np.concatenate([d[1] for d in datasets])
     labels = np.concatenate([d[2] for d in datasets])
     rng = np.random.default_rng(args.seed)
-    params = init_catmodel_params(jax.random.key(args.seed))
+    n_cls = getattr(args, "gt_classes", 10)
+    params = init_catmodel_params(jax.random.key(args.seed),
+                                  gt_classes=n_cls)
     for epoch in range(args.epochs):
-        idx = select_training_sites(labels, rng)
+        idx = select_training_sites(labels, rng, n_classes=n_cls)
         if len(idx) == 0:
             print({"error": "no confident SNV-labeled sites"})
             return 1
@@ -624,7 +630,10 @@ def _run_legacy_eval(args, cfg) -> int:
         fout.write("# Contig\tPos\tTruth\tPred\tQual\tTrue/False\n")
         for (_name, b1, b2, idx1, idx2, ctg, centers,
              labels) in _legacy_labeled_bins(args):
-            keep = select_training_sites(labels, rng)
+            # class count comes from the loaded head (10-class shipped
+            # configs or the 15-class config_prev variant)
+            keep = select_training_sites(
+                labels, rng, n_classes=params["out"]["w"].shape[-1])
             if len(keep) == 0:
                 continue
             g0 = build_g_images(

@@ -30,7 +30,8 @@ from ..models.haplotype_model import haplotype_forward, init_haplotype_params
 from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .losses import label_smoothing_loss
 from .metrics import MetricsLogger
-from .optim import build_optimizer, wrap_params_for_lookahead
+from .optim import (build_optimizer, is_lookahead_type,
+                    wrap_params_for_lookahead)
 from .train_pileup import (EpochMeter, TrainState, _fast, _stack_batches,
                            freeze_mask_fn, make_multi_step, resume_state,
                            save_checkpoint)
@@ -139,7 +140,7 @@ def train_haplotype(
     params = init_params if init_params is not None else init_haplotype_params(
         jax.random.key(tcfg.seed), mcfg)
     tx = build_optimizer(tcfg.optim, steps_per_epoch or lr_steps_per_epoch or 1000)
-    if tcfg.optim.type.lower().startswith("lookahead"):
+    if is_lookahead_type(tcfg.optim.type):
         params = wrap_params_for_lookahead(params, True)
     opt_state = tx.init(params)
     if resume_from:

@@ -30,7 +30,8 @@ from ..models.pileup_model import init_pileup_params, pileup_forward
 from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .losses import label_smoothing_loss
 from .metrics import ConfusionAccumulator, MetricsLogger
-from .optim import build_optimizer, wrap_params_for_lookahead
+from .optim import (build_optimizer, is_lookahead_type,
+                    wrap_params_for_lookahead)
 
 
 @dataclass
@@ -212,7 +213,7 @@ def train_pileup(
         jax.random.key(tcfg.seed), mcfg)
     tx = build_optimizer(tcfg.optim,
                          steps_per_epoch or lr_steps_per_epoch or 1000)
-    is_lookahead = tcfg.optim.type.lower().startswith("lookahead")
+    is_lookahead = is_lookahead_type(tcfg.optim.type)
     if is_lookahead:
         params = wrap_params_for_lookahead(params, True)
     opt_state = tx.init(params)

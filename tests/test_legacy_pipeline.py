@@ -147,6 +147,21 @@ def test_legacy_train_end_to_end(legacy_world, tmp_path):
     from nanosnp_tpu.train.train_pileup import load_checkpoint
     params, _ = load_checkpoint(str(out_dir / "catmodel.npz"))
     assert "res_blocks" in params and len(params["res_blocks"]) == 6
+    assert params["out"]["w"].shape[-1] == 10
+
+    # the config_prev 15-class cal_label variant (dataset.py:26-57):
+    # GT21 indices 0-14 are exactly the unordered pair space, so the
+    # same truth labels train a 15-way head
+    out15 = tmp_path / "train15"
+    rc = cli_main(["legacy-train", "--data-tag1", str(bins1),
+                   "--data-tag2", str(bins2), "--ref", str(tmp / "ref.fa"),
+                   "--truth-vcf", str(tmp_path / "truth.vcf"),
+                   "--bed", str(tmp_path / "conf.bed"),
+                   "--epochs", "1", "--batch-size", "16",
+                   "--gt-classes", "15", "-o", str(out15)])
+    assert rc == 0
+    params15, _ = load_checkpoint(str(out15 / "catmodel.npz"))
+    assert params15["out"]["w"].shape[-1] == 15
 
 
 def test_legacy_eval_and_filter_labels(legacy_world, tmp_path):
