@@ -434,6 +434,89 @@ def bench_scaling_2proc():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _device_scaling_worker(n_dev: int) -> None:
+    """Subprocess body for bench_device_scaling: chained s2 inference with
+    the batch sharded over an n_dev-device mesh; prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import PartitionSpec as P
+
+    from nanosnp_tpu.models.pileup_model import pileup_predict
+    from nanosnp_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+    params, cfg = _params_and_cfg()
+    mesh = make_mesh(jax.devices()[:n_dev])
+    batch = 8192
+
+    @jax.jit
+    def many(p, x, iters):
+        def body(_, carry):
+            x, acc = carry
+            gt, zy = pileup_predict(p, x + acc * 1e-3, cfg,
+                                    compute_dtype=jnp.float32,
+                                    use_pallas=False)
+            return (x, gt.mean())
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
+        return acc
+
+    x = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).integers(-40, 40,
+                                                      (batch, 33, 18)),
+                    jnp.float32), shard_batch(mesh))
+    p = jax.device_put(params, replicated(mesh))
+    rate = _chained_rate(many, p, (x,), batch, iters=8)
+    print(json.dumps({"n_dev": n_dev, "sites_per_s": round(rate, 1)}))
+
+
+def bench_device_scaling():
+    """Device-level multi-chip inference scaling (VERDICT r2 #6).
+
+    Same total batch, sharded over a 1-device vs an 8-device mesh (XLA
+    partitions the program and inserts any collectives). On real multi-chip
+    hardware the ratio is true scaling; on one host's virtual CPU devices
+    (xla_force_host_platform_device_count) the 8 'devices' share the same
+    cores, so aggregate compute is fixed and the honest reading is
+    SHARDING OVERHEAD: efficiency = rate_sharded / rate_single, ~1.0 when
+    partitioning adds no cost. The label in the output says which one was
+    measured."""
+    import jax
+
+    if jax.devices()[0].platform == "tpu" and len(jax.devices()) > 1:
+        # real chips: measure in-process (no env juggling needed)
+        raise NotImplementedError  # pragma: no cover - no multi-chip here
+
+    def run(n_dev):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            " --xla_force_host_platform_device_count=8")
+        env.pop("NSP_COORDINATOR", None)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--device-scaling-worker", str(n_dev)],
+            capture_output=True, text=True, env=env, timeout=900,
+            cwd=REPO)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr[-500:])
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    r1 = run(1)
+    r8 = run(8)
+    eff = round(r8["sites_per_s"] / max(r1["sites_per_s"], 1e-9), 3)
+    return {"rate_1dev": r1["sites_per_s"],
+            "rate_8dev_sharded": r8["sites_per_s"],
+            "efficiency": eff,
+            "note": ("8 virtual CPU devices share one host's cores: this "
+                     "measures sharding/partitioning cost, not chip "
+                     "scaling (no multi-chip hardware available). >1.0 "
+                     "means the partitioned program also exploited cores "
+                     "a single CPU 'device' left idle; <1.0 would mean "
+                     "partitioning overhead")}
+
+
 def bench_torch_cpu() -> float:
     import torch
 
@@ -565,6 +648,10 @@ def main():
             extra["catmodel"] = {"error": str(e)[:300]}
     if os.environ.get("NSP_BENCH_SCALING", "1") != "0":
         extra["scaling"] = bench_scaling_2proc()
+        try:
+            extra["scaling"]["device_inference"] = bench_device_scaling()
+        except Exception as e:
+            extra["scaling"]["device_inference"] = {"error": str(e)[:300]}
     try:
         base = bench_torch_cpu()
     except Exception:
@@ -581,4 +668,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--device-scaling-worker":
+        _device_scaling_worker(int(sys.argv[2]))
+    else:
+        main()
