@@ -410,3 +410,55 @@ def test_haplotype_csv_matches_reference_predict_dev(parity_world, tmp_path):
     for k in want:
         if want[k][0] == got[k][0]:
             assert abs(want[k][1] - got[k][1]) < 0.6, (k, want[k], got[k])
+
+    # Decompose the residual (VERDICT r2 #3): argmax identity must hold
+    # OUTSIDE measured softmax ties. For every divergent call, recompute
+    # our model's full gt distribution and require the top-2 margin to sit
+    # inside the f32 tie band — a divergence with a decisive margin would
+    # be a real bug, not noise, and fails loudly here.
+    diverged = [k for k in want if want[k][0] != got[k][0]]
+    if diverged:
+        from nanosnp_tpu.features.haplotype import (haplotype_features,
+                                                    ref_position_codes,
+                                                    ref_window_codes)
+        from nanosnp_tpu.models.haplotype_model import haplotype_predict
+
+        seq_arr = world["ref"].contig("chr20")
+        fl = cfg.haplotype_feature.pileup_flanking_size
+        probs = {}
+        for p in os.listdir(hap_shards):
+            shard = bins.load_haplotype_shard(str(hap_shards / p))
+            if len(shard) == 0:
+                continue
+            views = []
+            for view, refc in (
+                    ("pileup", ref_window_codes(
+                        seq_arr, shard.candidate_positions, fl)),
+                    ("haplotype", ref_position_codes(
+                        seq_arr, shard.group_positions))):
+                d = getattr(shard, view)
+                views.append(haplotype_features(
+                    jnp.asarray(d["sequences"], jnp.float32),
+                    jnp.asarray(d["baseq"], jnp.float32),
+                    jnp.asarray(d["mapq"], jnp.float32),
+                    jnp.asarray(d["hap"], jnp.float32),
+                    jnp.asarray(refc, jnp.float32)))
+            gt, _zy = haplotype_predict(params, views[0], views[1],
+                                        cfg.haplotype_model)
+            gt = np.asarray(gt)
+            for i, pos in enumerate(shard.candidate_positions):
+                probs[(shard.contig, int(pos))] = gt[i]
+        margins = []
+        for k in diverged:
+            top2 = np.sort(probs[k])[-2:]
+            margin = float(top2[1] - top2[0])
+            margins.append(margin)
+            assert margin < 5e-2, \
+                ("non-tie GT divergence (real bug?)", k, margin,
+                 want[k], got[k])
+        print(f"[parity] {len(diverged)}/{len(want)} GT calls diverge; "
+              f"all inside the tie band (max top-2 margin "
+              f"{max(margins):.2e})")
+    else:
+        print(f"[parity] 0/{len(want)} GT calls diverge (exact argmax "
+              f"identity)")
