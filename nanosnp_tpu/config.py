@@ -90,18 +90,24 @@ class MergeConfig:
     quality: float = C.MERGE_QUAL
     hap_quality: float = C.MERGE_HAP_QUAL
     pileup_rescue_quality: float = C.MERGE_PILEUP_RESCUE_QUAL
-    # Deferral gate (no reference counterpart, off by default): candidates
-    # whose covering reads are phased below this fraction carry no phasing
-    # signal in the hap channel, so the haplotype model is blind there and
-    # its rescue is noise; s5 skips emitting such rows so merge falls back
-    # to the pileup call (merge.py absent-site rule). Measured rationale in
-    # scripts/train_haplotype_mixed.py (v3 A/B): sparse-het low-coverage
-    # worlds are exactly this regime. The fraction is computed on the
+    # Deferral gate (no reference counterpart, ON by default since r3):
+    # candidates whose covering reads are phased below this fraction carry
+    # no phasing signal in the hap channel, so the haplotype model is blind
+    # there and its rescue is noise; s5 skips emitting such rows so merge
+    # falls back to the pileup call (merge.py absent-site rule). At 0.01
+    # the gate is self-adjusting: it only ever drops sites with ZERO (or
+    # near-zero) phased covering reads, so well-phased worlds are
+    # untouched while the sparse-het low-coverage regime (where the v2
+    # merge trailed the pileup baseline) recovers — A/B evidence across
+    # geometries in docs/evidence/defer_ab.json. Set 0.0 for byte-exact
+    # reference s5/s6 behavior (rationale for the decode-time gate rather
+    # than a retrain: scripts/train_haplotype_mixed.py v3 negative
+    # result). The fraction is computed on the
     # HP-sorted, depth-capped shard rows, so at over-coverage sites it is
     # biased UPWARD (phased rows sort first and survive the cap) — fine at
     # the default 0.01; if ever raised much higher, compute it from
     # uncapped per-group tag counts in s4 instead.
-    defer_unphased_frac: float = 0.0
+    defer_unphased_frac: float = 0.01
 
 
 @dataclass

@@ -553,6 +553,184 @@ def _enc_center_kernel(x_hbm, wih_ref, w_ref, b_ref, out_ref, h_ref, c_ref,
             out_ref[...] = h.astype(out_ref.dtype)
 
 
+def _enc_kfused_body(x_hbm, wcat_ref, b_ref, h_ref, c_ref, xbuf, in_sems,
+                     *, seq_len, hidden, d_pad, block_n, on_step):
+    """Shared time loop for the K-fused encoder kernels.
+
+    K-fusion (r3, VERDICT #2): with D_pad + H <= 128 the in-projection and
+    the hidden matmul fit ONE MXU K-tile, so concatenating [w_ih | w_hh]
+    into wcat [2, 4H, D_pad+H] and writing h_{t-1} into the tail rows of
+    the input slab halves the MXU passes per timestep (2 instead of 4 per
+    direction for the pileup model's layer 1: separate dots each round K
+    up to a full 128-tile, wasting the idle rows twice). The systolic
+    array's pass time depends on ceil(K/128), not K, so filling the tile
+    with real contraction is free throughput. Layer 2 (D=2H=128) stays on
+    the two-dot kernels: 128+64 spills into a second K-tile and nothing is
+    saved.
+
+    `on_step(t, h)` receives every timestep's fresh hidden state and
+    handles output (stream vs center-only)."""
+    i = pl.program_id(0)
+
+    def _time(t, d):
+        return seq_len - 1 - t if d == 1 else t
+
+    def in_copy(t, slot):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[_time(t, d), :, pl.ds(i * block_n, block_n)],
+                xbuf.at[slot, d, pl.ds(0, d_pad)], in_sems.at[slot, d])
+            for d in (0, 1)
+        ]
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    for cp in in_copy(0, 0):
+        cp.start()
+
+    for t in range(seq_len):
+        slot = t % 2
+        if t + 1 < seq_len:
+            for cp in in_copy(t + 1, (t + 1) % 2):
+                cp.start()
+        for cp in in_copy(t, slot):
+            cp.wait()
+        # h_{t-1} into the slab rows the DMA does not touch -> one fused
+        # [4H, D_pad+H] x [D_pad+H, BN] dot per direction. Per-direction
+        # dots, NOT one batch-2 dot_general: a loop body whose only matmul
+        # is a single batched dot SIGABRTs the Mosaic compiler
+        # ("Check failed: limits[i] <= dim(i)" in array.h — bisected
+        # 2026-08: two batched dots fine, one batched dot crashes,
+        # unbatched always fine).
+        for d in (0, 1):
+            xbuf[slot, d, d_pad:, :] = h_ref[d].astype(xbuf.dtype)
+        gates = jnp.stack([
+            jax.lax.dot_general(
+                wcat_ref[d], xbuf[slot, d],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for d in (0, 1)])
+        gates = gates + b_ref[...]
+        ig = jax.nn.sigmoid(gates[:, :hidden, :])
+        fg = jax.nn.sigmoid(gates[:, hidden: 2 * hidden, :])
+        gg = jnp.tanh(gates[:, 2 * hidden: 3 * hidden, :])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden:, :])
+        c = fg * c_ref[...] + ig * gg
+        h = og * jnp.tanh(c)
+        c_ref[...] = c
+        h_ref[...] = h
+        on_step(t, h)
+
+
+def _enc_stream_kfused_kernel(x_hbm, wcat_ref, b_ref, out_hbm, h_ref, c_ref,
+                              xbuf, obuf, in_sems, out_sems, *, seq_len,
+                              hidden, d_pad, block_n):
+    """K-fused variant of _enc_stream_kernel (full-sequence output)."""
+    i = pl.program_id(0)
+
+    def _time(t, d):
+        return seq_len - 1 - t if d == 1 else t
+
+    def out_copy(t, slot):
+        return [
+            pltpu.make_async_copy(
+                obuf.at[slot, d],
+                out_hbm.at[_time(t, d), d, :, pl.ds(i * block_n, block_n)],
+                out_sems.at[slot, d])
+            for d in (0, 1)
+        ]
+
+    def on_step(t, h):
+        slot = t % 2
+        if t >= 2:
+            for cp in out_copy(t - 2, slot):
+                cp.wait()
+        obuf[slot] = h.astype(obuf.dtype)
+        for cp in out_copy(t, slot):
+            cp.start()
+
+    _enc_kfused_body(x_hbm, wcat_ref, b_ref, h_ref, c_ref, xbuf, in_sems,
+                     seq_len=seq_len, hidden=hidden, d_pad=d_pad,
+                     block_n=block_n, on_step=on_step)
+    if seq_len >= 2:
+        for cp in out_copy(seq_len - 2, (seq_len - 2) % 2):
+            cp.wait()
+    for cp in out_copy(seq_len - 1, (seq_len - 1) % 2):
+        cp.wait()
+
+
+def _enc_center_kfused_kernel(x_hbm, wcat_ref, b_ref, out_ref, h_ref, c_ref,
+                              xbuf, in_sems, *, seq_len, hidden, d_pad,
+                              block_n):
+    """K-fused variant of _enc_center_kernel (center timestep only)."""
+    center = seq_len // 2
+
+    def on_step(t, h):
+        if t == center:
+            out_ref[...] = h.astype(out_ref.dtype)
+
+    _enc_kfused_body(x_hbm, wcat_ref, b_ref, h_ref, c_ref, xbuf, in_sems,
+                     seq_len=seq_len, hidden=hidden, d_pad=d_pad,
+                     block_n=block_n, on_step=on_step)
+
+
+def _run_enc_stream_kfused(x_t, wcat_t, b, *, seq_len, hidden, gate_dim,
+                           block_n, interpret, out_dtype):
+    """x_t [L, Dp, Npad], wcat_t [2, 4H, Dp+H], b [2, 4H, 1]
+    -> hs [L, 2, H, Npad] in true time order."""
+    n_pad = x_t.shape[-1]
+    d_pad = x_t.shape[1]
+    grid = (n_pad // block_n,)
+    return pl.pallas_call(
+        functools.partial(_enc_stream_kfused_kernel, seq_len=seq_len,
+                          hidden=hidden, d_pad=d_pad, block_n=block_n),
+        out_shape=jax.ShapeDtypeStruct((seq_len, 2, hidden, n_pad),
+                                       out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((2, gate_dim, d_pad + hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, 1), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),           # h
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),           # c
+            pltpu.VMEM((2, 2, d_pad + hidden, block_n), x_t.dtype),  # in
+            pltpu.VMEM((2, 2, hidden, block_n), out_dtype),          # out
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(x_t, wcat_t, b)
+
+
+def _run_enc_center_kfused(x_t, wcat_t, b, *, seq_len, hidden, gate_dim,
+                           block_n, interpret):
+    n_pad = x_t.shape[-1]
+    d_pad = x_t.shape[1]
+    grid = (n_pad // block_n,)
+    return pl.pallas_call(
+        functools.partial(_enc_center_kfused_kernel, seq_len=seq_len,
+                          hidden=hidden, d_pad=d_pad, block_n=block_n),
+        out_shape=jax.ShapeDtypeStruct((2, hidden, n_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((2, gate_dim, d_pad + hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, 1), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, hidden, block_n), lambda i: (0, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),           # h
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),           # c
+            pltpu.VMEM((2, 2, d_pad + hidden, block_n), x_t.dtype),  # in
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(x_t, wcat_t, b)
+
+
 def _run_enc_stream(x_t, wih_t, w_t, b, *, seq_len, hidden, gate_dim,
                     block_n, interpret, out_dtype):
     """x_t [L, Dp, Npad], wih_t [2, 4H, Dp], w_t [2, 4H, H], b [2, 4H, 1]
@@ -701,16 +879,38 @@ def bilstm_encoder_pallas(
                 x_t = jnp.pad(x_t, ((0, 0), (0, d_pad - d_in), (0, 0)))
                 wih_t = jnp.pad(wih_t, ((0, 0), (0, 0), (0, d_pad - d_in)))
             b = layer["b"].astype(jnp.float32)[:, :, None]   # [2, 4H, 1]
+            # K-fusion: when the in-projection and hidden contraction fit
+            # one 128-deep MXU tile, run them as a single dot (see
+            # _enc_kfused_body) — 2x fewer MXU passes for narrow-D layers
+            d_pad = x_t.shape[1]
+            kfuse = (d_pad + hidden <= 128 and d_pad % 16 == 0
+                     and hidden % 16 == 0)
+            if kfuse:
+                wcat_t = jnp.concatenate(
+                    [wih_t, w_t.astype(wih_t.dtype)], axis=2)
             if last and center_only and seq_len % 2 == 1:
-                ctr = _run_enc_center(x_t, wih_t, w_t, b, seq_len=seq_len,
-                                      hidden=hidden, gate_dim=gate_dim,
-                                      block_n=block_n, interpret=interpret)
+                if kfuse:
+                    ctr = _run_enc_center_kfused(
+                        x_t, wcat_t, b, seq_len=seq_len, hidden=hidden,
+                        gate_dim=gate_dim, block_n=block_n,
+                        interpret=interpret)
+                else:
+                    ctr = _run_enc_center(
+                        x_t, wih_t, w_t, b, seq_len=seq_len, hidden=hidden,
+                        gate_dim=gate_dim, block_n=block_n,
+                        interpret=interpret)
                 ctr = jnp.transpose(ctr.reshape(2 * hidden, -1), (1, 0))
                 return ctr[:n] if pad else ctr
-            hs = _run_enc_stream(
-                x_t, wih_t, w_t, b, seq_len=seq_len, hidden=hidden,
-                gate_dim=gate_dim, block_n=block_n, interpret=interpret,
-                out_dtype=jnp.float32 if last else compute_dtype)
+            if kfuse:
+                hs = _run_enc_stream_kfused(
+                    x_t, wcat_t, b, seq_len=seq_len, hidden=hidden,
+                    gate_dim=gate_dim, block_n=block_n, interpret=interpret,
+                    out_dtype=jnp.float32 if last else compute_dtype)
+            else:
+                hs = _run_enc_stream(
+                    x_t, wih_t, w_t, b, seq_len=seq_len, hidden=hidden,
+                    gate_dim=gate_dim, block_n=block_n, interpret=interpret,
+                    out_dtype=jnp.float32 if last else compute_dtype)
         else:
             w_ih = layer["w_ih"].astype(compute_dtype)   # [2, D, 4H]
             b = layer["b"].astype(jnp.float32)

@@ -31,6 +31,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORLDS = [
     ("sparse", 4_000_000, 500, 10, 300, 0.05),
     ("dense", 2_000_000, 60, 20, 250, 0.06),
+    # partially-phasable middle ground: reads span ~1.7 hets, the phaser
+    # forms short blocks, some sites phase and some don't — the gate must
+    # split them correctly (defaults A/B, r3)
+    ("mid", 2_000_000, 150, 15, 250, 0.05),
 ]
 
 

@@ -54,6 +54,8 @@ def _world(tmp_path, rng, cfg, n=30, depth=20):
 def test_gate_off_is_reference_behavior(tmp_path):
     rng = np.random.default_rng(11)
     cfg = _cfg()
+    # default is ON since r3; reference byte-parity requires explicit 0
+    cfg.merge.defer_unphased_frac = 0.0
     ref, shard, shard_dir = _world(tmp_path, rng, cfg)
     params = init_haplotype_params(jax.random.key(2), cfg.haplotype_model)
     out = tmp_path / "hap.csv"
