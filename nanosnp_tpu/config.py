@@ -27,6 +27,11 @@ class PileupFeatureConfig:
     mpileup_max_depth: int = C.MPILEUP_MAX_DEPTH
     mpileup_min_mq: int = C.MPILEUP_MIN_MQ
     mpileup_excl_flags: int = C.MPILEUP_EXCL_FLAGS
+    # "column": per-column cap (default, matches the in-repo simulator);
+    # "push": htslib bam_plp_push whole-read admission — samtools'
+    # coverage-spike shadow semantics (io/bam.py pileup_region docstring;
+    # unverified against a real samtools binary, ROADMAP #3)
+    depth_mode: str = "column"
 
     @property
     def window(self) -> int:

@@ -132,9 +132,25 @@ class BamFile:
         min_mq: int = 20,
         excl_flags: int = 2316,
         max_depth: int = 144,
+        depth_mode: str = "column",
     ):
-        """ChromPileup for positions in [start0, end0) (0-based)."""
+        """ChromPileup for positions in [start0, end0) (0-based).
+
+        depth_mode:
+          "column" (default) — per-column cap, first covering reads in BAM
+            order win (cap re-fills at every column).
+          "push" — htslib bam_plp_push admission: a read is dropped WHOLE
+            when the buffer of still-active admitted reads is full at its
+            start (samtools' coverage-spike shadow). Admission state is
+            per call, so chunk boundaries reset it (edge effect of a few
+            read lengths). See bam_core.cpp for the full semantics note.
+        """
         from ..features.pileup import ChromPileup
+
+        if depth_mode not in ("column", "push"):
+            raise ValueError(f"depth_mode {depth_mode!r}")
+        if depth_mode == "push":
+            max_depth = -max_depth   # sign encodes the mode natively
 
         w = max(end0 - start0, 0)
         positions = np.zeros(w, dtype=np.int64)

@@ -995,12 +995,51 @@ int64_t nsp_bam_pileup_region(
               nullptr);
   };
 
+  // Depth-cap semantics (make_predict_data.sh --max-depth 144):
+  //   max_depth > 0  "column" mode (default): per-column cap, first
+  //                  covering reads in BAM order win; the cap re-fills at
+  //                  every column.
+  //   max_depth < 0  "push" mode (|max_depth| cap): htslib bam_plp_push
+  //                  admission — a read is dropped ENTIRELY when, at its
+  //                  start, the buffer of still-active admitted reads
+  //                  (end >= this start) is full. Reproduces samtools'
+  //                  coverage-spike shadow: reads starting inside a
+  //                  saturated window never contribute, so coverage dips
+  //                  below the cap just downstream of a spike. Admission
+  //                  state is per region call (chunk boundaries reset it;
+  //                  s1 chunks are Mbp-scale so the edge effect is a few
+  //                  read lengths). Unverified against a real samtools
+  //                  binary (none in this container) — differential-test
+  //                  before relying on it for byte parity (ROADMAP #3).
+  bool push_mode = max_depth < 0;
+  if (push_mode) max_depth = -max_depth;
+  thread_local std::vector<int64_t> active_ends;  // min-heap of read ends
+  active_ends.clear();
+
   RegionIter iter(b, rid->second, start0, end0);
   if (!iter.ok) return -3;
   BamRecord r;
   while (iter.next(&r)) {
     if (r.flag & excl_flags) continue;
     if (r.mapq < min_mq) continue;
+    if (push_mode && max_depth > 0) {
+      while (!active_ends.empty() && active_ends.front() < r.pos) {
+        std::pop_heap(active_ends.begin(), active_ends.end(),
+                      std::greater<int64_t>());
+        active_ends.pop_back();
+      }
+      if ((int)active_ends.size() >= max_depth) continue;  // whole read
+      int64_t span = 0;
+      for (uint32_t ci = 0; ci < r.n_cigar; ++ci) {
+        uint32_t op = r.cigar[ci] & 0xf;
+        if (op == OP_M || op == OP_EQ || op == OP_X || op == OP_D ||
+            op == OP_N)
+          span += r.cigar[ci] >> 4;
+      }
+      active_ends.push_back(r.pos + (span > 0 ? span - 1 : 0));
+      std::push_heap(active_ends.begin(), active_ends.end(),
+                     std::greater<int64_t>());
+    }
     bool fwd = !(r.flag & 16);
     int64_t rpos = r.pos;
     int64_t qpos = 0;
@@ -1021,7 +1060,8 @@ int64_t nsp_bam_pileup_region(
               continue;
             }
             int64_t x = p0 - start0;
-            if (max_depth > 0 && col_n[x] >= max_depth) continue;
+            if (!push_mode && max_depth > 0 && col_n[x] >= max_depth)
+              continue;
             ++col_n[x];
             last_base_counted = true;
             int b4 = SEQ16_NT4[seq_base16(r.seq4, qpos + k)];
@@ -1051,7 +1091,8 @@ int64_t nsp_bam_pileup_region(
             int64_t p0 = rpos + k;
             if (p0 < start0 || p0 >= end0) continue;
             int64_t x = p0 - start0;
-            if (max_depth > 0 && col_n[x] >= max_depth) continue;
+            if (!push_mode && max_depth > 0 && col_n[x] >= max_depth)
+              continue;
             ++col_n[x];
             ++singles[(size_t)x * nsp::NUM_SINGLE +
                       (fwd ? nsp::S_STAR : nsp::S_POUND)];

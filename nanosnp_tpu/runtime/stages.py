@@ -246,7 +246,8 @@ def stage_pileup_features_from_bam(
                     min_coverage=fc.min_depth, max_indel=fc.max_indel_size,
                     min_mq=fc.mpileup_min_mq,
                     excl_flags=fc.mpileup_excl_flags,
-                    max_depth=fc.mpileup_max_depth)
+                    max_depth=fc.mpileup_max_depth,
+                    depth_mode=fc.depth_mode)
                 rows = int(((pile.positions > s) & (pile.positions <= e)).sum())
                 batch = assemble_windows(pile, seq, flank,
                                          emit_lo=s, emit_hi=e)

@@ -589,3 +589,80 @@ def test_long_cigar_malformed_cg_is_ignored(tmp_path):
     with BamFile(str(path)) as bam:
         pile = bam.pileup_region("chrB", 0, L, seq, min_coverage=1)
     assert len(pile.positions) == 0          # read fell back to soft-clip
+
+
+def _push_rule_oracle(reads, length, max_depth):
+    """Pure-Python model of htslib's bam_plp_push admission (whole-read
+    drop when the active buffer is full at the read's start) + per-column
+    depth from the admitted set."""
+    import heapq
+
+    ends = []
+    depth = np.zeros(length, np.int64)
+    admitted = []
+    for r in sorted(reads, key=lambda r: r.start0):
+        while ends and ends[0] < r.start0:
+            heapq.heappop(ends)
+        if len(ends) >= max_depth:
+            continue
+        span = r.ref_span()
+        heapq.heappush(ends, r.start0 + max(span - 1, 0))
+        admitted.append(r)
+        depth[r.start0: r.start0 + span] += 1
+    return admitted, depth
+
+
+def test_bam_pileup_push_depth_mode(tmp_path):
+    """depth_mode='push' (htslib bam_plp_push admission, ROADMAP #3):
+    per-column depths match a pure-Python model of the whole-read-drop
+    rule, including the coverage-spike shadow — reads starting inside a
+    saturated window never contribute, so coverage just downstream of the
+    spike dips BELOW the cap even though raw coverage exceeds it."""
+    rng = np.random.default_rng(47)
+    genome = random_genome(rng, {"chrP": 600})
+    seq = np.frombuffer(genome["chrP"].encode(), dtype=np.uint8).copy()
+    cap = 30
+    reads = []
+    # base coverage ~20x everywhere
+    for i in range(120):
+        start = int(rng.integers(0, 500))
+        ln = int(rng.integers(60, 100))
+        sub = genome["chrP"][start: start + ln]
+        reads.append(Read(name=f"b{i}", ref_id=0, start0=start,
+                          cigar=[("M", len(sub))], seq=sub.upper(),
+                          quals=[30] * len(sub), mapq=60))
+    # spike: 80 reads piling at 200..260
+    for i in range(80):
+        start = int(rng.integers(195, 215))
+        ln = int(rng.integers(40, 60))
+        sub = genome["chrP"][start: start + ln]
+        reads.append(Read(name=f"s{i}", ref_id=0, start0=start,
+                          cigar=[("M", len(sub))], seq=sub.upper(),
+                          quals=[30] * len(sub), mapq=60))
+    reads.sort(key=lambda r: r.start0)
+    bam_path = tmp_path / "spike.bam"
+    write_bam(str(bam_path), [("chrP", 600)], reads)
+
+    admitted, want_depth = _push_rule_oracle(reads, 600, cap)
+    assert len(admitted) < len(reads)   # the rule actually dropped reads
+
+    with BamFile(str(bam_path)) as bam:
+        got = bam.pileup_region("chrP", 0, len(seq), seq, max_depth=cap,
+                                min_coverage=1, depth_mode="push")
+        col = bam.pileup_region("chrP", 0, len(seq), seq, max_depth=cap,
+                                min_coverage=1, depth_mode="column")
+
+    # mpileup depth = -sum(negative entries) of the count rows; compare on
+    # the engine's depths array directly
+    got_d = {int(p): int(d) for p, d in zip(got.positions, got.depths)}
+    for pos0 in range(600):
+        if genome["chrP"][pos0] == "N":   # no row for N reference bases
+            continue
+        assert got_d.get(pos0 + 1, 0) == want_depth[pos0], pos0
+
+    # shadow effect: somewhere after the spike the push-mode depth is
+    # strictly below both the cap and the column-mode depth
+    col_d = {int(p): int(d) for p, d in zip(col.positions, col.depths)}
+    shadow = [p for p in range(230, 320)
+              if got_d.get(p + 1, 0) < min(cap, col_d.get(p + 1, 0))]
+    assert shadow, "expected a coverage shadow downstream of the spike"
