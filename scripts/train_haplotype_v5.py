@@ -1,33 +1,31 @@
-"""Retrain the haplotype model on ONT-like error profiles (r3, VERDICT #5).
+"""Retrain the haplotype model on a MIXED ONT+uniform corpus (r3, v5).
 
-Training realism upgrade over scripts/train_haplotype_synthetic.py (uniform
-substitution-only errors): three training contigs each drawn with a
-DIFFERENT ErrorProfile (tests/ontsim.py — homopolymer indels,
-context-dependent substitutions, correlated base/mapping qualities,
-per-read error-rate variation) at different coverages and read lengths,
-so the model must learn pileup evidence rather than one noise signature.
+History of shipped-checkpoint attempts (see also train_haplotype_mixed.py
+and train_haplotype_ont.py):
+  v2 (shipped r2): uniform-error corpus trA-trF. Holds up on the uniform
+      defer-A/B geometries but OOD ONT-like merge F1 0.867-0.96x.
+  v3: v2 + sparse-het worlds — NOT SHIPPED (global rescue threshold
+      shift, dense-world precision crater; notes in train_haplotype_mixed).
+  v4 (train_haplotype_ont.py): ONT-profile-only corpus. OOD ONT merge
+      0.9646 vs pileup 0.9118 (VERDICT #5 criterion met) but REGRESSED
+      every uniform geometry (sparse merge_on 0.610 < pileup 0.690,
+      mid merge_off 0.866 < pileup 0.903) — the uniform noise signature
+      became out-of-distribution. NOT SHIPPED (see /tmp/v3/defer_ab2).
+  v5 (this script): union corpus — the three ONT-profile worlds of v4
+      PLUS four uniform-error worlds matching v2's trA/trC/trE/trF
+      operating points (no sparse-het worlds, per the v3 negative; the
+      sparse geometry is handled at decode time by the default-on
+      deferral gate). Ship criteria, both required:
+        (a) OOD ONT world: merge_off F1 > pileup F1 (VERDICT #5), and
+        (b) 3-geometry defer A/B (eval_defer_unphased.py) with the
+            default gate: merge_on >= pileup on every geometry, dense/mid
+            not materially below the v2 numbers (VERDICT #4).
 
-Evaluation:
-  - evalC: held-out contig with a TRAINING profile (in-distribution).
-  - oodC:  held-out contig with an UNSEEN profile at an unseen coverage,
-           UNTAGGED reads routed through the native phaser — the full
-           production regime. Reported vs the pileup baseline with the
-           deferral gate off AND on (VERDICT r2 #5 done-criterion: OOD
-           merge F1 > pileup baseline without the gate).
+Writes ont_haplotype_synthetic.npz ONLY into the out dir (promotion to
+nanosnp_tpu/models/weights/ is a separate, deliberate step after both
+ship criteria are checked).
 
-v4 OUTCOME (2026-08-19): NOT SHIPPED as-is. The VERDICT #5 done-criterion
-was met — OOD ONT-world merge F1 0.9646 (gate off) vs pileup 0.9118 — but
-re-running the 3-geometry defer A/B (eval_defer_unphased.py) with this
-checkpoint showed the uniform-error worlds had become out-of-distribution:
-sparse merge_on 0.610 < pileup 0.690 (16.6k FPs gate-off), mid merge_off
-0.866 < pileup 0.903. An ONT-only corpus trades one noise signature for
-another. The shipped fix is train_haplotype_v5.py: the union corpus (these
-three ONT worlds + v2's four uniform worlds), which must pass BOTH evals.
-
-Writes ont_haplotype_synthetic.npz and f1_results.json in the out dir
-(promotion to nanosnp_tpu/models/weights/ is a separate deliberate step).
-
-Usage: python scripts/train_haplotype_ont.py [out_dir] [max_steps]
+Usage: python scripts/train_haplotype_v5.py [out_dir] [max_steps]
 """
 import json
 import os
@@ -40,27 +38,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WEIGHTS_OUT = os.path.join(REPO, "nanosnp_tpu", "models", "weights",
-                           "ont_haplotype_synthetic.npz")
 
-# (contig, length, profile idx, coverage, read_len, tag_rate)
+# kind="ont":     (name, length, kind, profile idx, coverage, read_len, tag)
+# kind="uniform": (name, length, kind, err,         coverage, read_len, tag,
+#                  spacing)
 TRAIN_WORLDS = [
-    ("tA", 3_500_000, 0, 22, 280, 0.85),
-    ("tB", 3_500_000, 1, 15, 240, 0.85),
-    ("tC", 3_500_000, 2, 28, 300, 0.85),
+    ("tA", 3_000_000, "ont", 0, 22, 280, 0.85, None),
+    ("tB", 3_000_000, "ont", 1, 15, 240, 0.85, None),
+    ("tC", 3_000_000, "ont", 2, 28, 300, 0.85, None),
+    ("uA", 2_000_000, "uniform", 0.06, 20, 250, 0.85, 60),
+    ("uC", 1_500_000, "uniform", 0.08, 15, 250, 0.85, 90),
+    ("uE", 1_500_000, "uniform", 0.05, 10, 300, 0.85, 50),
+    ("uF", 1_200_000, "uniform", 0.06, 12, 250, 0.85, 100),
 ]
-EVAL_WORLD = ("evalC", 600_000, 0, 22, 280, 0.85)   # in-distribution
-OOD_WORLD = ("oodC", 8_000_000, 3, 12, 320, 0.0)    # unseen profile+cov,
-                                                    # untagged (phaser)
+EVAL_WORLD = ("evalC", 600_000, "ont", 0, 22, 280, 0.85, None)
+OOD_WORLD = ("oodC", 8_000_000, "ont", 3, 12, 320, 0.0, None)
 
 
-def main(out_dir="./hap_ont_train", max_steps=6000):
+def main(out_dir="./hap_v5_train", max_steps=8000):
     import jax
     import jax.numpy as jnp
 
     from synth import random_genome
     from bamgen import write_bam
-    from diploid import make_diploid, truth_vcf_lines
+    from diploid import diploid_reads, make_diploid, truth_vcf_lines
     from ontsim import ont_reads, random_profile
     from nanosnp_tpu.config import PipelineConfig, TrainConfig
     from nanosnp_tpu.eval.f1 import evaluate_calls
@@ -79,19 +80,29 @@ def main(out_dir="./hap_ont_train", max_steps=6000):
     rng = np.random.default_rng(20260819)
     profiles = [random_profile(rng, f"p{i}") for i in range(4)]
     specs = TRAIN_WORLDS + [EVAL_WORLD, OOD_WORLD]
-    sizes = {c: n for c, n, *_ in specs}
+    sizes = {s[0]: s[1] for s in specs}
     genome = random_genome(rng, sizes)
     worlds = {}
-    for ctg, L_ctg, pi, cov, rl, tag in specs:
-        truth, h1, h2 = make_diploid(rng, genome[ctg], n_het=L_ctg // 60,
-                                     n_hom=L_ctg // 180)
-        reads = ont_reads(rng, h1, h2, 0,
-                          n_reads=L_ctg * cov // rl, read_len=rl,
-                          prof=profiles[pi], tag_rate=tag)
-        worlds[ctg] = dict(truth=truth, reads=reads)
+    for ctg, L_ctg, kind, e_or_p, cov, rl, tag, spacing in specs:
+        if kind == "uniform":
+            truth, h1, h2 = make_diploid(rng, genome[ctg],
+                                         n_het=L_ctg // (spacing * 2),
+                                         n_hom=L_ctg // (spacing * 6),
+                                         spacing=spacing)
+            reads = diploid_reads(rng, h1, h2, 0,
+                                  n_reads=L_ctg * cov // rl, read_len=rl,
+                                  err=e_or_p, tag_rate=tag)
+        else:
+            truth, h1, h2 = make_diploid(rng, genome[ctg],
+                                         n_het=L_ctg // 60,
+                                         n_hom=L_ctg // 180)
+            reads = ont_reads(rng, h1, h2, 0,
+                              n_reads=L_ctg * cov // rl, read_len=rl,
+                              prof=profiles[e_or_p], tag_rate=tag)
+        worlds[ctg] = dict(truth=truth)
         write_bam(os.path.join(out_dir, f"{ctg}.bam"), [(ctg, L_ctg)], reads)
-        print(f"[world] {ctg}: {len(reads)} reads profile=p{pi} "
-              f"cov={cov}", flush=True)
+        print(f"[world] {ctg}: {len(reads)} reads kind={kind} cov={cov}",
+              flush=True)
     fasta = os.path.join(out_dir, "ref.fa")
     write_fasta(fasta, genome)
     ref = FastaReference(fasta)
@@ -103,7 +114,8 @@ def main(out_dir="./hap_ont_train", max_steps=6000):
         "/root/reference/PileupModel/models/ont_pileup.chkpt"))
 
     vcfs, hap_shards = {}, {}
-    for ctg, *_ in specs[:-1]:   # oodC goes through the phaser below
+    for spec in specs[:-1]:   # oodC goes through the phaser below
+        ctg = spec[0]
         shards = os.path.join(out_dir, f"shards_{ctg}")
         stages.stage_pileup_features_from_bam(
             cfg, ref, os.path.join(out_dir, f"{ctg}.bam"), shards, [ctg])
@@ -122,7 +134,7 @@ def main(out_dir="./hap_ont_train", max_steps=6000):
 
     # labels over ALL training contigs
     seqs = {n: ref.contig(n) for n in ref.names}
-    train_ctgs = [c for c, *_ in TRAIN_WORLDS]
+    train_ctgs = [s[0] for s in TRAIN_WORLDS]
     all_lines = truth_vcf_lines(train_ctgs[0], worlds[train_ctgs[0]]["truth"])
     for c in train_ctgs[1:]:
         all_lines += truth_vcf_lines(c, worlds[c]["truth"])[2:]
@@ -163,16 +175,11 @@ def main(out_dir="./hap_ont_train", max_steps=6000):
     ckpt = best if os.path.exists(best) else os.path.join(out_dir,
                                                           "last.ckpt")
     params, _ = load_checkpoint(ckpt)
-    os.makedirs(os.path.dirname(WEIGHTS_OUT), exist_ok=True)
-    save_params_npz(WEIGHTS_OUT, params)
-    print(f"[train] weights ({ckpt}) -> {WEIGHTS_OUT}", flush=True)
+    weights_out = os.path.join(out_dir, "ont_haplotype_synthetic.npz")
+    save_params_npz(weights_out, params)
+    print(f"[train] weights ({ckpt}) -> {weights_out}", flush=True)
 
-    results = {"train_steps": state.step, "epochs": state.epoch,
-               "profiles": {p.name: vars(p) for p in profiles}}
-    for k in results["profiles"]:
-        results["profiles"][k] = {
-            kk: (vv.tolist() if isinstance(vv, np.ndarray) else vv)
-            for kk, vv in results["profiles"][k].items()}
+    results = {"train_steps": state.step, "epochs": state.epoch}
 
     # in-distribution eval (oracle tags, like training)
     ctg = "evalC"
@@ -232,6 +239,6 @@ def main(out_dir="./hap_ont_train", max_steps=6000):
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "./hap_ont_train"
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
+    out = sys.argv[1] if len(sys.argv) > 1 else "./hap_v5_train"
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
     main(out, steps)

@@ -389,6 +389,10 @@ def test_haplotype_csv_matches_reference_predict_dev(parity_world, tmp_path):
         torch.load(str(ckpt_path), weights_only=False)))
     cfg.inference.use_bf16 = False
     cfg.inference.use_pallas = False
+    # byte-parity vs the reference: the deferral gate (default-on since
+    # r3) has no reference counterpart and this world's reads carry no HP
+    # tags, so it would defer every site
+    cfg.merge.defer_unphased_frac = 0.0
     our_csv = tmp_path / "our_hap.csv"
     stages.stage_haplotype_predict(cfg, world["ref"], str(hap_shards),
                                    str(our_csv), params)
