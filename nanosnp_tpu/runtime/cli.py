@@ -84,6 +84,13 @@ def main(argv=None):
                         "(merge keeps the pileup call there); 0 = reference "
                         "behavior. No reference counterpart — see "
                         "MergeConfig.defer_unphased_frac")
+    p.add_argument("--depth-mode", default=None,
+                   choices=["column", "push"],
+                   help="s1 BAM depth-cap semantics: column = exact "
+                        "per-column cap; push = htslib bam_plp_push "
+                        "whole-read admission incl. the coverage-spike "
+                        "shadow (samtools --max-depth behavior). See "
+                        "PileupFeatureConfig.depth_mode")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address host:port "
                         "(or env NSP_COORDINATOR)")
@@ -349,6 +356,8 @@ def main(argv=None):
         cfg.threads = args.threads
     if getattr(args, "defer_unphased_frac", None) is not None:
         cfg.merge.defer_unphased_frac = args.defer_unphased_frac
+    if getattr(args, "depth_mode", None) is not None:
+        cfg.pileup_feature.depth_mode = args.depth_mode
     os.makedirs(args.output, exist_ok=True)
 
     if args.cmd == "s1-features":

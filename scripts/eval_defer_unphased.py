@@ -13,7 +13,9 @@ twice (gate off / gate on) and reports genotype-aware F1:
   - dense: a normal 20x world where the phaser works and rescue helps;
     the gate must not regress it (phased fractions are high there).
 
-Usage: python scripts/eval_defer_unphased.py [out_dir] [frac]
+Usage: python scripts/eval_defer_unphased.py [out_dir] [frac] [weights_npz]
+(weights_npz defaults to the shipped checkpoint — pass a candidate's npz
+to A/B it before promotion, e.g. the train_haplotype_v5.py output)
 """
 import json
 import os
@@ -38,7 +40,7 @@ WORLDS = [
 ]
 
 
-def main(out_dir="./defer_ab", frac=0.01):
+def main(out_dir="./defer_ab", frac=0.01, weights=None):
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +67,7 @@ def main(out_dir="./defer_ab", frac=0.01):
     cfg.haplotype_feature.hete_support_quality = 5
     pileup_params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(
         "/root/reference/PileupModel/models/ont_pileup.chkpt"))
-    hap_params = load_params_npz(os.path.join(
+    hap_params = load_params_npz(weights or os.path.join(
         REPO, "nanosnp_tpu", "models", "weights",
         "ont_haplotype_synthetic.npz"))
 
@@ -122,4 +124,5 @@ def main(out_dir="./defer_ab", frac=0.01):
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "./defer_ab"
     fr = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
-    main(out, fr)
+    w = sys.argv[3] if len(sys.argv) > 3 else None
+    main(out, fr, w)
