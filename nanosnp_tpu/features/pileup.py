@@ -241,7 +241,8 @@ class CandidateBatch:
     chrom: str
     positions: np.ndarray         # [N] int64 candidate centers (1-based)
     matrix: np.ndarray            # [N, 33, 18] int32
-    ref_seqs: List[str]           # 33-mer reference windows (case preserved)
+    ref_seqs: np.ndarray          # [N] S33 bytes: 33-mer reference windows
+                                  # (case preserved; empty batch = S33[0])
     alt_info: List[str]           # "depth-key cnt key cnt " strings
     depths: np.ndarray            # [N] int32
 
@@ -280,14 +281,24 @@ def assemble_windows(
 
     if len(sel) == 0:
         return CandidateBatch(pile.chrom, np.zeros(0, np.int64),
-                              np.zeros((0, window, 18), np.int16), [], [],
+                              np.zeros((0, window, 18), np.int16),
+                              np.zeros(0, dtype=f"S{window}"), [],
                               np.zeros(0, np.int32))
 
     gather = sel[:, None] + np.arange(-flank, flank + 1)[None, :]
+    # emit in the shard dtype: |count| <= 4*max_depth(144) = 576 after
+    # ref-negation, so int16 is lossless; narrowing the gathered windows
+    # (candidates only) beats narrowing the whole [w,18] column array and
+    # makes the shard writer's astype a no-op
     matrix = pile.counts[gather]                       # [N, 33, 18]
+    if matrix.dtype != np.int16:
+        matrix = matrix.astype(np.int16)
     centers = p[sel]
-    ref_seqs = [chr_seq[c - 1 - flank: c + flank].tobytes().decode()
-                for c in centers]
+    # window reference strings as one vectorized gather + S-view (bounds
+    # are guaranteed: the contiguity check proves positions c-flank..c+flank
+    # exist, and positions are 1-based in [1, len(chr_seq)])
+    win = (centers - 1 - flank)[:, None] + np.arange(window)[None, :]
+    ref_seqs = np.ascontiguousarray(chr_seq[win]).view(f"S{window}").ravel()
     alt_info = [f"{pile.depths[i]}-{pile.alt_info[i]}" for i in sel]
     return CandidateBatch(pile.chrom, centers, matrix, ref_seqs, alt_info,
                           pile.depths[sel].astype(np.int32))
@@ -300,27 +311,40 @@ def tensor_lines(batch: CandidateBatch) -> List[str]:
     for i in range(len(batch)):
         tensor_info = "".join(
             f"{v} " for v in batch.matrix[i].reshape(-1))
+        rs = batch.ref_seqs[i]
+        rs = rs.decode() if isinstance(rs, bytes) else rs
         out.append(
-            f"{batch.chrom}\t{batch.positions[i]}\t{batch.ref_seqs[i]}\t"
+            f"{batch.chrom}\t{batch.positions[i]}\t{rs}\t"
             f"{tensor_info}\t{batch.alt_info[i]}")
     return out
 
 
-def predict_inputs(batch: CandidateBatch) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+def predict_inputs(batch: CandidateBatch) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Filter to ACGT-centered candidates and return model inputs, mirroring
     DNA_CreatePredictData (make_predict_data/main.cpp:92: rows whose 33-mer
     center is not ACGT are dropped; ref_seq uppercased).
 
-    Returns (matrix [M,33,18] int32, positions [M] int64, ref_seqs33 list).
+    Returns (matrix [M,33,18] int16, positions [M] int64,
+    ref_seqs [M] S-window uppercased bytes).
     """
-    keep = []
-    refs = []
-    for i, s in enumerate(batch.ref_seqs):
-        su = s.upper()
-        if len(su) > 16 and su[16] in "ACGT":
-            keep.append(i)
-            refs.append(su)
-    keep = np.asarray(keep, dtype=np.int64)
+    rs = np.asarray(batch.ref_seqs, dtype="S")
+    n = len(rs)
+    if n == 0:
+        return (np.zeros((0, 33, 18), np.int16), np.zeros(0, np.int64),
+                np.zeros(0, dtype="S33"))
+    width = rs.dtype.itemsize
+    refs_u = np.char.upper(rs)
+    if width > 16:
+        u8 = refs_u.view(np.uint8).reshape(n, width)
+        center = u8[:, 16]
+        keep = ((center == ord("A")) | (center == ord("C"))
+                | (center == ord("G")) | (center == ord("T")))
+        # short (truncated) windows pad with NULs; a NUL at byte 16 means
+        # the string ended early — already excluded by the letter check
+    else:
+        keep = np.zeros(n, dtype=bool)
+    keep = np.flatnonzero(keep)
     if len(keep) == 0:
-        return (np.zeros((0, 33, 18), np.int16), np.zeros(0, np.int64), [])
-    return batch.matrix[keep], batch.positions[keep], refs
+        return (np.zeros((0, 33, 18), np.int16), np.zeros(0, np.int64),
+                np.zeros(0, dtype=rs.dtype))
+    return batch.matrix[keep], batch.positions[keep], refs_u[keep]

@@ -178,23 +178,26 @@ class BamFile:
         else:
             raise RuntimeError("alt buffer negotiation failed")
         m = int(ret)
-        alt_bytes = alt_buf.tobytes()
         # decode alt_info lazily: only candidate rows carry/need it, and
         # decoding all ~2M rows per chunk cost more than the native pileup
-        # itself (only ~1.5% of rows are candidates)
+        # itself (only ~1.5% of rows are candidates). Slice the numpy
+        # buffer per candidate — a whole-buffer .tobytes() memcpy (64 B/row
+        # of mostly-unused capacity) costed more than the native call.
         alt_info = [""] * m
         for i in np.flatnonzero(cand[:m]):
-            alt_info[i] = alt_bytes[alt_off[2 * i]: alt_off[2 * i + 1]].decode()
+            alt_info[i] = (alt_buf[alt_off[2 * i]: alt_off[2 * i + 1]]
+                           .tobytes().decode())
+        # views, not copies: m ~= w for covered chunks, so copying freed
+        # almost nothing and cost ~0.5 s/2 Mbp in memcpy; the window
+        # gather (assemble_windows) narrows candidate rows to int16
         return ChromPileup(
             chrom=contig,
-            positions=positions[:m].copy(),
-            # counts fit int16 (|v| <= 4*max_depth = 576 after the
-            # ref-negation trick): halves every downstream window copy
-            counts=counts[:m].astype(np.int16),
-            depths=depths[:m].copy(),
-            is_candidate=cand[:m].astype(bool),
+            positions=positions[:m],
+            counts=counts[:m],
+            depths=depths[:m],
+            is_candidate=cand[:m].astype(bool),   # bool for mask indexing
             alt_info=alt_info,
-            afs=afs[:m].copy(),
+            afs=afs[:m],
         )
 
     def read_matrices(

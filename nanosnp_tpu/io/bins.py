@@ -64,7 +64,7 @@ def save_pileup_shard(path: str, shard: PileupShard) -> None:
     _savez_fast(path, dict(
         contig=np.array(shard.contig),
         positions=shard.positions,
-        matrix=shard.matrix.astype(np.int16),
+        matrix=shard.matrix.astype(np.int16, copy=False),
         ref_seqs=np.asarray(shard.ref_seqs, dtype="S"),
         alt_info=np.asarray(shard.alt_info, dtype="S"),
     ))

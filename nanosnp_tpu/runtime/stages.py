@@ -180,15 +180,15 @@ def stage_pileup_features(
             alt_map = {int(p): a for p, a in zip(sub.positions, sub.alt_info)}
             mats.append(mat)
             poss.append(pos)
-            refs_all.extend(refs33)
+            refs_all.append(refs33)
             alts.extend(alt_map[int(p)] for p in pos)
         pos_all = np.concatenate(poss) if poss else np.zeros(0, np.int64)
         shard = bins.PileupShard(
             contig=ctg,
             positions=pos_all,
             matrix=(np.concatenate(mats) if mats
-                    else np.zeros((0, overlap, 18), np.int32)),
-            ref_seqs=(np.asarray([r.encode() for r in refs_all], dtype="S33")
+                    else np.zeros((0, overlap, 18), np.int16)),
+            ref_seqs=(np.concatenate(refs_all).astype("S33", copy=False)
                       if refs_all else np.zeros(0, dtype="S33")),
             alt_info=(np.asarray([a.encode() for a in alts], dtype="S")
                       if alts else np.zeros(0, dtype="S")),
@@ -270,7 +270,7 @@ def stage_pileup_features_from_bam(
                     mat, pos, r33, alt_list = payload
                     mats.append(mat)
                     poss.append(pos)
-                    refs33.extend(r33)
+                    refs33.append(r33)
                     alts.extend(alt_list)
             pos_all = (np.concatenate(poss) if poss
                        else np.zeros(0, np.int64))
@@ -278,8 +278,8 @@ def stage_pileup_features_from_bam(
                 contig=ctg,
                 positions=pos_all,
                 matrix=(np.concatenate(mats) if mats
-                        else np.zeros((0, 2 * flank + 1, 18), np.int32)),
-                ref_seqs=(np.asarray([r.encode() for r in refs33], dtype="S33")
+                        else np.zeros((0, 2 * flank + 1, 18), np.int16)),
+                ref_seqs=(np.concatenate(refs33).astype("S33", copy=False)
                           if refs33 else np.zeros(0, dtype="S33")),
                 alt_info=(np.asarray([a.encode() for a in alts], dtype="S")
                           if alts else np.zeros(0, dtype="S")),

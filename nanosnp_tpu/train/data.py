@@ -106,14 +106,18 @@ def build_pileup_train_arrays(
     rng = rng or np.random.default_rng()
     truth = {t.pos: t for t in truth_sites}
 
-    keep_idx: List[int] = []
-    refs: List[str] = []
-    for i, rs in enumerate(batch.ref_seqs):
-        center = rs[16].upper() if len(rs) > 16 else "N"
-        if center in "ACGT":
-            keep_idx.append(i)
-            refs.append(center)
-    keep = np.asarray(keep_idx, dtype=np.int64)
+    rs_arr = np.asarray(batch.ref_seqs, dtype="S")
+    width = rs_arr.dtype.itemsize
+    if len(rs_arr) and width > 16:
+        u8 = np.char.upper(rs_arr).view(np.uint8).reshape(len(rs_arr), width)
+        centers_u8 = u8[:, 16]
+        mask = ((centers_u8 == ord("A")) | (centers_u8 == ord("C"))
+                | (centers_u8 == ord("G")) | (centers_u8 == ord("T")))
+    else:
+        centers_u8 = np.zeros(len(rs_arr), np.uint8)
+        mask = np.zeros(len(rs_arr), dtype=bool)
+    keep = np.flatnonzero(mask)
+    refs = [chr(c) for c in centers_u8[keep]]
     positions = batch.positions[keep]
     is_var = np.asarray([int(p) in truth for p in positions], dtype=bool)
 
@@ -139,8 +143,8 @@ def build_pileup_train_arrays(
             label[j] = L.y_label_from_reference(refs[j])
 
     matrix = batch.matrix[keep]
-    ref_seqs = np.asarray([batch.ref_seqs[i].encode() for i in keep],
-                          dtype="S33") if len(keep) else np.zeros(0, "S33")
+    ref_seqs = (rs_arr[keep].astype("S33", copy=False)
+                if len(keep) else np.zeros(0, "S33"))
     alt_info = np.asarray([batch.alt_info[i].encode() for i in keep],
                           dtype="S") if len(keep) else np.zeros(0, "S")
     if shuffle:

@@ -151,6 +151,6 @@ def test_predict_inputs_drop_non_acgt_center():
     batch = assemble_windows(pile, seq)
     mat, pos, refs = predict_inputs(batch)
     assert 60 not in pos  # N-centered dropped
-    for r in refs:
-        assert r[16] in "ACGT"
+    for r in refs:   # S33 bytes since r3 (vectorized window emission)
+        assert r[16:17] in b"ACGT"
         assert r == r.upper()
