@@ -146,18 +146,19 @@ def parse_mpileup_native(
         raise RuntimeError("alt_info buffer negotiation failed")
 
     m = int(ret)
-    alt_bytes = alt_buf.tobytes()
-    # lazy alt decode + int16 counts: see BamFile.pileup_region (only
-    # candidate rows carry alt_info; counts fit +-576)
+    # lazy alt decode (candidate rows only, sliced from the numpy buffer —
+    # a whole-buffer .tobytes() memcpy'd 64 B/row of mostly-unused
+    # capacity) and views instead of copies: see BamFile.pileup_region
     alt_info: List[str] = [""] * m
     for i in np.flatnonzero(cand[:m]):
-        alt_info[i] = alt_bytes[alt_off[2 * i]: alt_off[2 * i + 1]].decode()
+        alt_info[i] = (alt_buf[alt_off[2 * i]: alt_off[2 * i + 1]]
+                       .tobytes().decode())
     return ChromPileup(
         chrom=chrom,
-        positions=positions[:m].copy(),
-        counts=counts[:m].astype(np.int16),
-        depths=depths[:m].copy(),
+        positions=positions[:m],
+        counts=counts[:m],
+        depths=depths[:m],
         is_candidate=cand[:m].astype(bool),
         alt_info=alt_info,
-        afs=afs[:m].copy(),
+        afs=afs[:m],
     )
