@@ -83,6 +83,12 @@ class HaplotypeFeatureConfig:
     # reads link blocks across windows
     phaser_window_bp: int = 50_000
     phaser_overlap_bp: int = 20_000
+    # leave phase blocks with fewer sites UNPHASED (whatshap semantics: a
+    # het linked to no other het is not phasable; its HP tags would
+    # partition reads by that site's own allele — pure noise downstream,
+    # and on sparse-het genomes they leak through the merge deferral
+    # gate). 1 = phase everything (pre-r3 behavior)
+    phaser_min_block_sites: int = 2
     # bug-compat: drop a whole extraction chunk when any read has a
     # non-ACGT base at a requested position (the reference's swallowed
     # base_to_int KeyError poisons its chunk,

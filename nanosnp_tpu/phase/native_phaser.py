@@ -146,13 +146,22 @@ def phase_contig(
     window_bp: int = 50_000,
     overlap_bp: int = 20_000,
     min_mq: int = 20,
+    min_block_sites: int = 2,
 ) -> PhaseResult:
     """Phase a contig's het SNVs and partition its reads.
 
     `bam` is an io.bam.BamFile. Genomic windows of `window_bp` advance by
     window_bp − overlap_bp; the overlap (≳ a read length) aligns signs
     across windows and lets boundary-spanning reads vote in both. Memory
-    is O(reads-in-window × sites-in-window)."""
+    is O(reads-in-window × sites-in-window).
+
+    min_block_sites: components smaller than this stay UNPHASED (whatshap
+    only phases variants connected to another variant by a read; a
+    single-het block's HP tags partition reads by that site's own allele —
+    zero cross-site information, and they leak noise through the merge
+    deferral gate on sparse-het genomes). A site singleton in this window
+    can still phase in an adjacent overlapping window that links it.
+    Set 1 to restore the pre-r3 phase-everything behavior."""
     S = len(het_positions)
     lut = np.zeros(256, dtype=np.int32)
     for b, v in BASE2INT.items():
@@ -187,6 +196,11 @@ def phase_contig(
                            alt_codes_all[idx])
         s, comp, n_weak = _phase_window(A)
         n_weak_total += n_weak
+        if min_block_sites > 1:
+            labels, counts = np.unique(comp[comp >= 0], return_counts=True)
+            small = labels[counts < min_block_sites]
+            if len(small):
+                s = np.where(np.isin(comp, small), 0, s).astype(np.int8)
         # align to previous window on shared oriented sites, per component
         flips: Dict[int, float] = {}
         for j, site in enumerate(idx):

@@ -1059,7 +1059,8 @@ def stage_phase_native(
         result = phase_contig(
             bam, ctg, np.asarray(pos, dtype=np.int64), refs, alts,
             window_bp=hf.phaser_window_bp, overlap_bp=hf.phaser_overlap_bp,
-            min_mq=cfg.pileup_feature.mpileup_min_mq)
+            min_mq=cfg.pileup_feature.mpileup_min_mq,
+            min_block_sites=hf.phaser_min_block_sites)
         np.savez_compressed(
             os.path.join(out_dir, f"{ctg}.hp.npz"),
             read_ids=np.array(list(result.read_hp), dtype=np.int64),
