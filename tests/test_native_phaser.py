@@ -192,3 +192,48 @@ def test_phase_contig_empty_and_single_site(phased_world):
                           np.array([1_000_000, 1_000_050], dtype=np.int64),
                           ["A", "C"], ["T", "G"], min_mq=0)
         assert (r2.hap_of_alt == 0).all() and not r2.read_hp
+
+
+def test_min_block_sites_suppresses_singletons(tmp_path):
+    """A het linked to no other het by any read forms a singleton block;
+    by default (min_block_sites=2) it must stay unphased and tag no reads
+    (whatshap semantics: a variant is only phased when a read connects it
+    to another variant). min_block_sites=1 restores phase-everything."""
+    rng = np.random.default_rng(7)
+    L = 9_000
+    seq = "".join("ACGT"[int(b)] for b in rng.integers(0, 4, L))
+    # linked pair at 1001/1101 (reads span both); singleton at 6001
+    # (nothing else within a read length)
+    hets = [(1001, "A", "T"), (1101, "A", "T"), (6001, "A", "T")]
+    h1 = list(seq); h2 = list(seq)
+    for pos1, ref, alt in hets:
+        h1[pos1 - 1] = ref
+        h2[pos1 - 1] = alt
+    from bamgen import Read
+    reads = []
+    for i in range(60):
+        hap = 1 + (i % 2)
+        src = h1 if hap == 1 else h2
+        start = int(rng.integers(850, 1000)) if i < 40 else \
+            int(rng.integers(5850, 6000))
+        frag = "".join(src[start: start + 300])
+        reads.append(Read(name=f"r{i}", ref_id=0, start0=start,
+                          cigar=[("M", 300)], seq=frag, quals=[30] * 300))
+    reads.sort(key=lambda r: r.start0)
+    bam = tmp_path / "s.bam"
+    write_bam(str(bam), [("chrS", L)], reads)
+    pos = np.array([h[0] for h in hets], dtype=np.int64)
+    refs = [h[1] for h in hets]
+    alts = [h[2] for h in hets]
+    with BamFile(str(bam)) as bf:
+        res = phase_contig(bf, "chrS", pos, refs, alts, min_mq=0)
+        res1 = phase_contig(bf, "chrS", pos, refs, alts, min_mq=0,
+                            min_block_sites=1)
+    # default: the linked pair phases, the singleton does not
+    assert res.hap_of_alt[0] != 0 and res.hap_of_alt[1] != 0
+    assert res.hap_of_alt[2] == 0
+    # no read is tagged purely by the singleton site
+    singleton_reads = {i for i, r in enumerate(reads) if r.start0 > 5000}
+    assert not any(rid in singleton_reads for rid in res.read_hp)
+    # min_block_sites=1: pre-r3 behavior phases the singleton too
+    assert res1.hap_of_alt[2] != 0
