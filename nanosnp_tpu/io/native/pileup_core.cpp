@@ -191,14 +191,20 @@ int64_t nsp_parse_mpileup(
   }
   const int64_t n = (int64_t)lines.size();
 
+  // Per-region thread count, NOT omp_set_num_threads: that call is
+  // process-global, so a prior n_threads=1 parse would silently pin every
+  // later n_threads=0 ("all cores") parse to one thread.
 #ifdef _OPENMP
-  if (n_threads > 0) omp_set_num_threads(n_threads);
+  const int nt = n_threads > 0 ? n_threads : omp_get_num_procs();
+#else
+  const int nt = 1;
+  (void)nt;
 #endif
 
   std::vector<std::string> alt_strs(n);
   std::vector<uint8_t> keep(n, 1);
 
-#pragma omp parallel
+#pragma omp parallel num_threads(nt)
  {
   RowScratch scratch;
 #pragma omp for schedule(static)
