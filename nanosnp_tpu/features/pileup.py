@@ -235,16 +235,53 @@ def parse_mpileup_text(
     )
 
 
-@dataclass
 class CandidateBatch:
-    """Emitted candidate windows for one chromosome."""
-    chrom: str
-    positions: np.ndarray         # [N] int64 candidate centers (1-based)
-    matrix: np.ndarray            # [N, 33, 18] int32
-    ref_seqs: np.ndarray          # [N] S33 bytes: 33-mer reference windows
-                                  # (case preserved; empty batch = S33[0])
-    alt_info: List[str]           # "depth-key cnt key cnt " strings
-    depths: np.ndarray            # [N] int32
+    """Emitted candidate windows for one chromosome.
+
+    Storage is COLUMNAR: adjacent candidates' 33-wide windows share most of
+    their position columns (at typical candidate density the dense
+    [N,33,18] tensor is ~3x redundant), so the batch holds the union of
+    window columns once (`columns` [M,18]) plus each candidate's center
+    offset into it (`cand_off`). Every candidate's window is the contiguous
+    slice columns[off-flank : off+flank+1] — guaranteed by construction
+    (union of contiguous index intervals stays contiguous per interval).
+    `.matrix` materializes the dense [N, 2*flank+1, 18] view on first use
+    for consumers that need it (training, HDF5 interop, text serializers);
+    the hot paths (shard IO, s2 device feed) use the columns directly and
+    never pay the 33x gather."""
+
+    def __init__(self, chrom, positions, matrix=None, ref_seqs=None,
+                 alt_info=None, depths=None, *, columns=None, cand_off=None,
+                 flank: int = C.FLANKING_BASES):
+        self.chrom = chrom
+        self.positions = positions    # [N] int64 candidate centers (1-based)
+        self.ref_seqs = ref_seqs      # [N] S33 bytes (case preserved)
+        self.alt_info = alt_info      # "depth-key cnt key cnt " strings
+        self.depths = depths          # [N] int32
+        self.columns = columns        # [M, 18] int16 union window columns
+        self.cand_off = cand_off      # [N] int64 center offsets into columns
+        self.flank = flank
+        self._matrix = matrix
+        if matrix is None and columns is None:
+            raise ValueError("CandidateBatch needs matrix or columns")
+
+    @property
+    def matrix(self) -> np.ndarray:
+        """Dense [N, 2*flank+1, 18] windows (materialized lazily)."""
+        if self._matrix is None:
+            gather = self.cand_off[:, None] + np.arange(
+                -self.flank, self.flank + 1)[None, :]
+            self._matrix = self.columns[gather]
+        return self._matrix
+
+    @property
+    def center_counts(self) -> np.ndarray:
+        """[N, 18] center-column counts without materializing windows."""
+        if self._matrix is not None:
+            return self._matrix[:, self._matrix.shape[1] // 2, :]
+        if getattr(self, "_centers", None) is None:
+            self._centers = self.columns[self.cand_off]
+        return self._centers
 
     def __len__(self):
         return len(self.positions)
@@ -281,18 +318,23 @@ def assemble_windows(
 
     if len(sel) == 0:
         return CandidateBatch(pile.chrom, np.zeros(0, np.int64),
-                              np.zeros((0, window, 18), np.int16),
-                              np.zeros(0, dtype=f"S{window}"), [],
-                              np.zeros(0, np.int32))
+                              ref_seqs=np.zeros(0, dtype=f"S{window}"),
+                              alt_info=[], depths=np.zeros(0, np.int32),
+                              columns=np.zeros((0, 18), np.int16),
+                              cand_off=np.zeros(0, np.int64), flank=flank)
 
-    gather = sel[:, None] + np.arange(-flank, flank + 1)[None, :]
-    # emit in the shard dtype: |count| <= 4*max_depth(144) = 576 after
-    # ref-negation, so int16 is lossless; narrowing the gathered windows
-    # (candidates only) beats narrowing the whole [w,18] column array and
-    # makes the shard writer's astype a no-op
-    matrix = pile.counts[gather]                       # [N, 33, 18]
-    if matrix.dtype != np.int16:
-        matrix = matrix.astype(np.int16)
+    # union coverage of all window intervals [sel-flank, sel+flank] over the
+    # parse rows, as a diff array -> compacted column store. |count| <=
+    # 4*max_depth(144) = 576 after ref-negation, so int16 is lossless.
+    cover = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(cover, sel - flank, 1)
+    np.add.at(cover, sel + flank + 1, -1)
+    mask = np.cumsum(cover[:-1]) > 0                   # [n] rows kept
+    compact = np.cumsum(mask, dtype=np.int64) - 1      # orig row -> column
+    columns = pile.counts[mask]
+    if columns.dtype != np.int16:
+        columns = columns.astype(np.int16)
+    cand_off = compact[sel]
     centers = p[sel]
     # window reference strings as one vectorized gather + S-view (bounds
     # are guaranteed: the contiguity check proves positions c-flank..c+flank
@@ -300,8 +342,10 @@ def assemble_windows(
     win = (centers - 1 - flank)[:, None] + np.arange(window)[None, :]
     ref_seqs = np.ascontiguousarray(chr_seq[win]).view(f"S{window}").ravel()
     alt_info = [f"{pile.depths[i]}-{pile.alt_info[i]}" for i in sel]
-    return CandidateBatch(pile.chrom, centers, matrix, ref_seqs, alt_info,
-                          pile.depths[sel].astype(np.int32))
+    return CandidateBatch(pile.chrom, centers, ref_seqs=ref_seqs,
+                          alt_info=alt_info,
+                          depths=pile.depths[sel].astype(np.int32),
+                          columns=columns, cand_off=cand_off, flank=flank)
 
 
 def tensor_lines(batch: CandidateBatch) -> List[str]:
@@ -348,3 +392,32 @@ def predict_inputs(batch: CandidateBatch) -> Tuple[np.ndarray, np.ndarray, np.nd
         return (np.zeros((0, 33, 18), np.int16), np.zeros(0, np.int64),
                 np.zeros(0, dtype=rs.dtype))
     return batch.matrix[keep], batch.positions[keep], refs_u[keep]
+
+
+def predict_batch(batch: CandidateBatch) -> CandidateBatch:
+    """`predict_inputs` semantics (drop non-ACGT centers, uppercase the
+    window strings — make_predict_data/main.cpp:92) on the COLUMNAR
+    storage: filters the per-candidate arrays without materializing the
+    dense window tensor. Unreferenced columns are kept (harmless; they
+    compress away)."""
+    rs = np.asarray(batch.ref_seqs, dtype="S")
+    n = len(rs)
+    width = rs.dtype.itemsize if n else 0
+    if n == 0 or width <= batch.flank:
+        return CandidateBatch(
+            batch.chrom, np.zeros(0, np.int64),
+            ref_seqs=np.zeros(0, dtype=f"S{2 * batch.flank + 1}"),
+            alt_info=[], depths=np.zeros(0, np.int32),
+            columns=batch.columns, cand_off=np.zeros(0, np.int64),
+            flank=batch.flank)
+    refs_u = np.char.upper(rs)
+    u8 = refs_u.view(np.uint8).reshape(n, width)
+    center = u8[:, batch.flank]
+    keep = np.flatnonzero(
+        (center == ord("A")) | (center == ord("C"))
+        | (center == ord("G")) | (center == ord("T")))
+    return CandidateBatch(
+        batch.chrom, batch.positions[keep], ref_seqs=refs_u[keep],
+        alt_info=[batch.alt_info[i] for i in keep],
+        depths=batch.depths[keep], columns=batch.columns,
+        cand_off=batch.cand_off[keep], flank=batch.flank)

@@ -26,13 +26,50 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-@dataclass
 class PileupShard:
-    contig: str
-    positions: np.ndarray        # [N] int64
-    matrix: np.ndarray           # [N, 33, 18] int32
-    ref_seqs: np.ndarray         # [N] S33 bytes (uppercased windows)
-    alt_info: np.ndarray         # [N] bytes
+    """s1 candidate shard.
+
+    v2 shards store the COLUMN union (columns [M,18] int16 + per-candidate
+    center offsets cand_off [N]) instead of dense [N,33,18] windows:
+    adjacent candidates share window columns, so the dense tensor is ~3x
+    redundant — raw bytes drive the npz deflate/inflate time and the
+    host->device transfer, both of which were s1/s2 bottlenecks at contig
+    scale. `.matrix` materializes the dense view lazily for consumers that
+    need it (HDF5 interop, verify, training); the s2 predictor gathers
+    windows ON DEVICE from the columns. v1 (dense `matrix` key) shards
+    still load."""
+
+    def __init__(self, contig: str, positions=None, matrix=None,
+                 ref_seqs=None, alt_info=None, *, columns=None,
+                 cand_off=None, flank: int = 16):
+        self.contig = contig
+        self.positions = positions   # [N] int64
+        self.ref_seqs = ref_seqs     # [N] S33 bytes
+        self.alt_info = alt_info     # [N] bytes
+        self.columns = columns       # [M, 18] int16 or None (v1)
+        self.cand_off = cand_off     # [N] int64 or None (v1)
+        self.flank = flank
+        self._matrix = matrix
+        if matrix is None and columns is None:
+            raise ValueError("PileupShard needs matrix or columns")
+
+    @property
+    def matrix(self) -> np.ndarray:
+        """Dense [N, 2*flank+1, 18] windows (materialized lazily)."""
+        if self._matrix is None:
+            gather = self.cand_off[:, None] + np.arange(
+                -self.flank, self.flank + 1)[None, :]
+            self._matrix = self.columns[gather]
+        return self._matrix
+
+    @property
+    def center_counts(self) -> np.ndarray:
+        """[N, 18] center-column counts without materializing windows."""
+        if self._matrix is not None:
+            return self._matrix[:, self._matrix.shape[1] // 2, :]
+        if getattr(self, "_centers", None) is None:
+            self._centers = self.columns[self.cand_off]
+        return self._centers
 
     def __len__(self):
         return len(self.positions)
@@ -61,17 +98,33 @@ def _savez_fast(path: str, arrays, compresslevel: int = 1) -> None:
 def save_pileup_shard(path: str, shard: PileupShard) -> None:
     # channel counts fit int16 (|value| <= 4*max_depth(144) = 576 after the
     # ref-negation trick): half the bytes of int32 to compress/decompress
-    _savez_fast(path, dict(
+    arrays = dict(
         contig=np.array(shard.contig),
         positions=shard.positions,
-        matrix=shard.matrix.astype(np.int16, copy=False),
         ref_seqs=np.asarray(shard.ref_seqs, dtype="S"),
         alt_info=np.asarray(shard.alt_info, dtype="S"),
-    ))
+    )
+    if shard.columns is not None:
+        arrays["columns"] = shard.columns.astype(np.int16, copy=False)
+        arrays["cand_off"] = shard.cand_off.astype(np.int64, copy=False)
+        arrays["flank"] = np.int64(shard.flank)
+    else:
+        arrays["matrix"] = shard.matrix.astype(np.int16, copy=False)
+    _savez_fast(path, arrays)
 
 
 def load_pileup_shard(path: str) -> PileupShard:
     z = np.load(path)
+    if "columns" in z.files:
+        return PileupShard(
+            contig=str(z["contig"]),
+            positions=z["positions"],
+            ref_seqs=z["ref_seqs"],
+            alt_info=z["alt_info"],
+            columns=z["columns"],
+            cand_off=z["cand_off"],
+            flank=int(z["flank"]),
+        )
     return PileupShard(
         contig=str(z["contig"]),
         positions=z["positions"],

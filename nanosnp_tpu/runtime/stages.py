@@ -31,7 +31,8 @@ from ..features.haplotype import (
     ref_position_codes,
     ref_window_codes,
 )
-from ..features.pileup import assemble_windows, predict_inputs
+from ..features.pileup import (CandidateBatch, assemble_windows,
+                               predict_batch, predict_inputs)
 from ..io import bins
 from ..io.fasta import FastaReference
 
@@ -150,7 +151,7 @@ def stage_pileup_features(
         if not os.path.exists(path):
             continue
         seq = ref.contig(ctg)
-        mats, poss, refs_all, alts = [], [], [], []
+        chunks: List[CandidateBatch] = []
         prev_bound = 0
         for unit_lines, n_carry, final in _iter_mpileup_units(
                 path, overlap, chunk_bytes):
@@ -174,30 +175,46 @@ def stage_pileup_features(
                 prev_bound = max(prev_bound, bound)
             if len(sub) == 0:
                 continue
-            mat, pos, refs33 = predict_inputs(sub)
-            if len(pos) == 0:
+            fsub = predict_batch(sub)
+            if len(fsub) == 0:
                 continue
-            alt_map = {int(p): a for p, a in zip(sub.positions, sub.alt_info)}
-            mats.append(mat)
-            poss.append(pos)
-            refs_all.append(refs33)
-            alts.extend(alt_map[int(p)] for p in pos)
-        pos_all = np.concatenate(poss) if poss else np.zeros(0, np.int64)
-        shard = bins.PileupShard(
-            contig=ctg,
-            positions=pos_all,
-            matrix=(np.concatenate(mats) if mats
-                    else np.zeros((0, overlap, 18), np.int16)),
-            ref_seqs=(np.concatenate(refs_all).astype("S33", copy=False)
-                      if refs_all else np.zeros(0, dtype="S33")),
-            alt_info=(np.asarray([a.encode() for a in alts], dtype="S")
-                      if alts else np.zeros(0, dtype="S")),
-        )
+            chunks.append(fsub)
+        shard = _columnar_shard(ctg, chunks, flank)
         bins.save_pileup_shard(os.path.join(out_dir, f"{ctg}.npz"), shard)
-        total_cand += len(pos_all)
+        total_cand += len(shard)
     dt = time.monotonic() - t0
     return {"rows": total_rows, "candidates": total_cand,
             "rows_per_s": round(total_rows / dt, 1) if dt else 0}
+
+
+def _columnar_shard(ctg: str, chunks: List[CandidateBatch],
+                    flank: int) -> bins.PileupShard:
+    """Concatenate per-chunk columnar batches into one shard (each chunk's
+    cand_off shifts by the columns accumulated before it)."""
+    cols_l, offs_l, poss_l, refs_l, alts = [], [], [], [], []
+    n_cols = 0
+    for b in chunks:
+        cols_l.append(b.columns)
+        offs_l.append(b.cand_off + n_cols)
+        n_cols += len(b.columns)
+        poss_l.append(b.positions)
+        refs_l.append(b.ref_seqs)
+        alts.extend(b.alt_info)
+    w = 2 * flank + 1
+    return bins.PileupShard(
+        contig=ctg,
+        positions=(np.concatenate(poss_l) if poss_l
+                   else np.zeros(0, np.int64)),
+        ref_seqs=(np.concatenate(refs_l).astype(f"S{w}", copy=False)
+                  if refs_l else np.zeros(0, dtype=f"S{w}")),
+        alt_info=(np.asarray([a.encode() for a in alts], dtype="S")
+                  if alts else np.zeros(0, dtype="S")),
+        columns=(np.concatenate(cols_l) if cols_l
+                 else np.zeros((0, 18), np.int16)),
+        cand_off=(np.concatenate(offs_l) if offs_l
+                  else np.zeros(0, np.int64)),
+        flank=flank,
+    )
 
 
 def stage_pileup_features_from_bam(
@@ -234,7 +251,8 @@ def stage_pileup_features_from_bam(
                 continue
             seq = ref.contig(ctg)
             length = len(seq)
-            mats, poss, refs33, alts, piles_rows = [], [], [], [], 0
+            piles_rows = 0
+            chunks: List[CandidateBatch] = []
 
             def one_chunk(s):
                 e = min(s + chunk_size, length)
@@ -253,40 +271,19 @@ def stage_pileup_features_from_bam(
                                          emit_lo=s, emit_hi=e)
                 if len(batch) == 0:
                     return rows, None
-                mat, pos, r33 = predict_inputs(batch)
-                if len(pos) == 0:
-                    return rows, None
-                alt_map = {int(p): a for p, a in
-                           zip(batch.positions, batch.alt_info)}
-                return rows, (mat, pos, r33,
-                              [alt_map[int(p)] for p in pos])
+                fsub = predict_batch(batch)
+                return rows, (fsub if len(fsub) else None)
 
             starts = list(range(0, length, chunk_size))
             with ThreadPoolExecutor(max_workers=n_workers) as ex:
                 for rows, payload in ex.map(one_chunk, starts):
                     piles_rows += rows
-                    if payload is None:
-                        continue
-                    mat, pos, r33, alt_list = payload
-                    mats.append(mat)
-                    poss.append(pos)
-                    refs33.append(r33)
-                    alts.extend(alt_list)
-            pos_all = (np.concatenate(poss) if poss
-                       else np.zeros(0, np.int64))
-            shard = bins.PileupShard(
-                contig=ctg,
-                positions=pos_all,
-                matrix=(np.concatenate(mats) if mats
-                        else np.zeros((0, 2 * flank + 1, 18), np.int16)),
-                ref_seqs=(np.concatenate(refs33).astype("S33", copy=False)
-                          if refs33 else np.zeros(0, dtype="S33")),
-                alt_info=(np.asarray([a.encode() for a in alts], dtype="S")
-                          if alts else np.zeros(0, dtype="S")),
-            )
+                    if payload is not None:
+                        chunks.append(payload)
+            shard = _columnar_shard(ctg, chunks, flank)
             bins.save_pileup_shard(os.path.join(out_dir, f"{ctg}.npz"), shard)
             total_rows += piles_rows
-            total_cand += len(pos_all)
+            total_cand += len(shard)
     dt = time.monotonic() - t0
     return {"rows": total_rows, "candidates": total_cand,
             "rows_per_s": round(total_rows / dt, 1) if dt else 0}
@@ -326,10 +323,17 @@ def stage_pileup_predict(
         shard = bins.load_pileup_shard(path)
         if len(shard) == 0:
             return None
-        # ship the compact int16 counts (values fit +-576; legacy int32
-        # shards are narrowed); the jitted program casts to f32 on device
-        # -> 2x less host->device traffic than shipping f32
-        gt, zy = predictor.run(shard.matrix.astype(np.int16, copy=False))
+        if shard.columns is not None:
+            # v2 columnar shard: ship the column union once per unit and
+            # gather each candidate's 33-wide window ON DEVICE — ~3x less
+            # host->device traffic than shipping dense windows (adjacent
+            # candidates share columns)
+            gt, zy = run_pileup_columnar(cfg, params, shard)
+        else:
+            # ship the compact int16 counts (values fit +-576; legacy int32
+            # shards are narrowed); the jitted program casts to f32 on
+            # device -> 2x less host->device traffic than shipping f32
+            gt, zy = predictor.run(shard.matrix.astype(np.int16, copy=False))
         return shard, gt, zy
 
     DECODE_SPLIT = 100_000   # rows per decode task (contig shards are big)
@@ -341,7 +345,7 @@ def stage_pileup_predict(
         decode_pileup_calls_fast(
             shard.contig, shard.positions[lo:hi], ref_bases,
             gt[lo:hi], zy[lo:hi],
-            shard.matrix[lo:hi, mcfg.seq_len // 2, :], buf,
+            shard.center_counts[lo:hi], buf,
             batch_size=1000, bug_compat=cfg.inference.bug_compat)
         return hi - lo, buf.getvalue()
 
@@ -595,6 +599,119 @@ def pileup_model_predictor(cfg: PipelineConfig, params):
     return pred
 
 
+# column-unit buckets for the v2 shard device feed: the column buffer is a
+# static-shape jit operand, so unit lengths round up to a bucket (one
+# compile per bucket used; tiny worlds touch only the small ones)
+_COL_BUCKETS = tuple(1 << k for k in range(16, 23))   # 64k .. 4M columns
+_COL_BUCKETS_COMPILED: set = set()   # buckets already built this process
+
+
+def _col_bucket(m: int) -> int:
+    for b in _COL_BUCKETS:
+        if m <= b:
+            return b
+    return _COL_BUCKETS[-1]
+
+
+def pileup_columnar_fn(cfg: PipelineConfig):
+    """Process-cached jit program (params, columns [U,18] int16,
+    idx [bs] int32) -> (gt, zy): gathers each candidate's window from the
+    column union ON DEVICE, then runs the pileup model. One executable per
+    (U bucket, batch) shape pair via the jit cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.pileup_model import pileup_predict
+
+    mcfg = cfg.pileup_model
+    compute_dtype = jnp.bfloat16 if cfg.inference.use_bf16 else jnp.float32
+    use_pallas = _resolve_use_pallas(cfg)
+    flank = (mcfg.seq_len - 1) // 2
+    key = ("pileup-col", repr(mcfg), cfg.inference.use_bf16, use_pallas)
+    with _HAP_PREDICTOR_LOCK:
+        fn = _HAP_PREDICTORS.get(key)
+        if fn is None:
+            def model_fn(p, cols, idx):
+                w = cols[idx[:, None]
+                         + jnp.arange(-flank, flank + 1)[None, :]]
+                return pileup_predict(p, w.astype(jnp.float32), mcfg,
+                                      compute_dtype=compute_dtype,
+                                      use_pallas=use_pallas)
+
+            fn = jax.jit(model_fn)
+            _HAP_PREDICTORS[key] = fn
+    return fn
+
+
+def run_pileup_columnar(cfg: PipelineConfig, params, shard) -> Tuple:
+    """s2 device feed for v2 columnar shards.
+
+    Ships the column union in bucketed units (one h2d per unit — ~3x fewer
+    bytes than dense windows) and pipelines gather+model batches against
+    the resident unit, fetching at most `max_in_flight` behind the
+    dispatches."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = pileup_columnar_fn(cfg)
+    bs = cfg.inference.batch_size
+    flank = shard.flank
+    cand_off = shard.cand_off
+    n = len(cand_off)
+    unit_cap = _COL_BUCKETS[-1]
+    gts: List[np.ndarray] = []
+    zys: List[np.ndarray] = []
+    pending: List = []
+
+    def drain_one():
+        m, res = pending.pop(0)
+        gts.append(np.asarray(res[0])[:m])
+        zys.append(np.asarray(res[1])[:m])
+
+    i = 0
+    while i < n:
+        lo = int(cand_off[i]) - flank
+        # largest j with cand_off[j-1] + flank < lo + unit_cap
+        j = int(np.searchsorted(cand_off, lo + unit_cap - flank,
+                                side="left"))
+        j = max(j, i + 1)
+        hi = int(cand_off[j - 1]) + flank + 1
+        u = _col_bucket(hi - lo)
+        # reuse an already-compiled larger bucket rather than compiling a
+        # tail-sized program: padded zero bytes cost far less than a fresh
+        # executable build through the relay compile service — but cap the
+        # padding at 4x the real size so a run of tiny contigs doesn't ship
+        # a 4M-column zero buffer per unit
+        bigger = [b for b in _COL_BUCKETS_COMPILED if b >= u]
+        if bigger and min(bigger) <= 4 * (hi - lo):
+            u = min(bigger)
+        _COL_BUCKETS_COMPILED.add(u)
+        cols = shard.columns[lo:hi]
+        if len(cols) < u:
+            pad = np.zeros((u, cols.shape[1]), dtype=cols.dtype)
+            pad[: len(cols)] = cols
+            cols = pad
+        cols_dev = jax.device_put(cols)
+        idx_all = (cand_off[i:j] - lo).astype(np.int32)
+        for s in range(0, j - i, bs):
+            idx = idx_all[s: s + bs]
+            m = len(idx)
+            if m < bs:
+                idx = np.concatenate(
+                    [idx, np.full(bs - m, flank, np.int32)])
+            res = fn(params, cols_dev, jnp.asarray(idx))
+            pending.append((m, res))
+            while len(pending) > 2:
+                drain_one()
+        i = j
+    while pending:
+        drain_one()
+    if not gts:
+        return (np.zeros((0, cfg.pileup_model.gt_num_class), np.float32),
+                np.zeros((0, cfg.pileup_model.zy_num_class), np.float32))
+    return np.concatenate(gts), np.concatenate(zys)
+
+
 def prewarm_pileup_model(cfg: PipelineConfig,
                          model_path: Optional[str]) -> threading.Thread:
     """Compile the s2 program on a daemon thread while s1 parses."""
@@ -607,12 +724,17 @@ def prewarm_pileup_model(cfg: PipelineConfig,
 
             params = jax.tree.map(jnp.asarray,
                                   load_pileup_checkpoint(model_path))
-            pred = pileup_model_predictor(cfg, params)
-            w = 2 * C.FLANKING_BASES + 1
-            # int16, matching what stage_pileup_predict ships (a dtype
-            # mismatch here would compile a program the stage never uses)
-            x = np.zeros((pred.batch_size, w, C.NUM_CHANNELS), np.int16)
-            pred.run(x)
+            # compile the columnar program at the LARGEST bucket: with the
+            # bucket-reuse rule every later unit (any size) pads up to it,
+            # so the whole run needs exactly this one executable
+            fn = pileup_columnar_fn(cfg)
+            u = _COL_BUCKETS[-1]
+            cols = np.zeros((u, C.NUM_CHANNELS), np.int16)
+            idx = np.full(cfg.inference.batch_size, C.FLANKING_BASES,
+                          np.int32)
+            r = fn(params, jnp.asarray(cols), jnp.asarray(idx))
+            jax.block_until_ready(r)
+            _COL_BUCKETS_COMPILED.add(u)
         except Exception:  # pragma: no cover - best-effort warm
             logging.getLogger(__name__).warning(
                 "pileup model prewarm failed", exc_info=True)
