@@ -160,6 +160,58 @@ def build_pileup_train_arrays(
                              ref_seqs=ref_seqs, alt_info=alt_info)
 
 
+def train_data_lines(
+    batch: CandidateBatch,
+    truth_sites: Sequence[TruthSite],
+) -> List[str]:
+    """Serialize candidate windows + truth labels in the reference `.td`
+    text format (make_train_data/main.cpp:328-386) on the deterministic
+    path (shuffle off, no non-variant subsampling): row order is tensor
+    order with first-occurrence dedup by chrom:pos, rows whose uppercased
+    33-mer center is not ACGT are dropped (main.cpp:284-285), and truth
+    rows append the `.true_var` line (main.cpp:376-381).
+
+    Line layout (main.cpp:369-382):
+      tensor_text \\t 90 space-separated label ints \\t chrom:pos:REF_SEQ
+      \\t alt_info(right-stripped) [\\t true_var_line]
+    """
+    truth = {t.pos: t for t in truth_sites}
+    lines: List[str] = []
+    seen = set()
+    for i in range(len(batch)):
+        pos = int(batch.positions[i])
+        rs = batch.ref_seqs[i]
+        rs = (rs.decode() if isinstance(rs, bytes) else rs).upper()
+        if rs[C.FLANKING_BASES] not in "ACGT":
+            continue
+        key = f"{batch.chrom}:{pos}"
+        if key in seen:
+            continue
+        seen.add(key)
+        t = truth.get(pos)
+        if t is not None:
+            # reference_quirk: the compiled binary clamps variant lengths
+            # with min=max=+16 (genotype.cpp:38-42 min_max), pinning every
+            # truth row's two length one-hots to index 32 — confirmed by
+            # the byte-diff against the real DNA_CreateTrainData
+            # (tests/test_train_data_oracle.py)
+            label = L.y_label_from_truth(t.ref, t.alt, t.gt1, t.gt2,
+                                         reference_quirk=True)
+            tv = (f"{batch.chrom}\t{pos}\t{t.ref}\t{t.alt}"
+                  f"\t{t.gt1}\t{t.gt2}")
+        else:
+            label = L.y_label_from_reference(rs[C.FLANKING_BASES])
+            tv = None
+        tensor_info = "".join(f"{v} " for v in batch.matrix[i].reshape(-1))
+        lab = " ".join(str(int(v)) for v in label)
+        alt = batch.alt_info[i].rstrip()
+        line = f"{tensor_info}\t{lab}\t{key}:{rs}\t{alt}"
+        if tv is not None:
+            line += "\t" + tv
+        lines.append(line)
+    return lines
+
+
 def balance_indices(
     gt: np.ndarray,
     zy: np.ndarray,

@@ -60,8 +60,16 @@ def mix_two_partial_labels(label1: str, label2: str) -> str:
     return "InsDel"
 
 
-def _alternate_arr(reference: str, alternate: str, g1: int, g2: int) -> List[str]:
-    arr = alternate.split(",")
+def _alternate_arr(reference: str, alternate: str, g1: int, g2: int,
+                   cpp_split: bool = False) -> List[str]:
+    # cpp_split: the C++ encoder tokenizes with strtok semantics
+    # (cpp_aux.cpp:44-59 split_line skips empty tokens), which matters for
+    # '*'-fixed alts like "CT," — C++ sees ONE token and rebuilds the pair
+    # from the full comma-bearing string, Python's split(',') sees two.
+    # Confirmed against the compiled DNA_CreateTrainData
+    # (tests/test_train_data_oracle.py).
+    arr = [t for t in alternate.split(",") if t] if cpp_split \
+        else alternate.split(",")
     if len(arr) == 1:
         if g1 == 0 or g2 == 0:
             arr = [reference, alternate]
@@ -70,8 +78,9 @@ def _alternate_arr(reference: str, alternate: str, g1: int, g2: int) -> List[str
     return arr
 
 
-def gt21_enum_from(reference: str, alternate: str, g1: int, g2: int) -> int:
-    arr = _alternate_arr(reference, alternate, g1, g2)
+def gt21_enum_from(reference: str, alternate: str, g1: int, g2: int,
+                   cpp_split: bool = False) -> int:
+    arr = _alternate_arr(reference, alternate, g1, g2, cpp_split)
     partials = [partial_label_from(reference, a) for a in arr]
     return GT21_MAP[mix_two_partial_labels(partials[0], partials[1])]
 
@@ -92,7 +101,8 @@ def genotype_enum_for_task(g: int) -> int:
 
 def variant_lengths(reference: str, alternate: str, g1: int, g2: int,
                     reference_quirk: bool = False) -> Tuple[int, int]:
-    arr = _alternate_arr(reference, alternate, g1, g2)
+    arr = _alternate_arr(reference, alternate, g1, g2,
+                         cpp_split=reference_quirk)
     if reference_quirk:
         lens = [VARIANT_LENGTH_OFFSET, VARIANT_LENGTH_OFFSET]
     else:
@@ -106,7 +116,8 @@ def y_label_from_truth(reference: str, alternate: str, g1: int, g2: int,
                        reference_quirk: bool = False) -> np.ndarray:
     """90-dim one-hot training label (21 + 3 + 33 + 33)."""
     y = np.zeros(21 + 3 + 2 * NUM_VARIANT_LENGTH, dtype=np.int32)
-    y[gt21_enum_from(reference, alternate, g1, g2)] = 1
+    y[gt21_enum_from(reference, alternate, g1, g2,
+                     cpp_split=reference_quirk)] = 1
     y[21 + genotype_enum_for_task(genotype_enum_from(g1, g2))] = 1
     l1, l2 = variant_lengths(reference, alternate, g1, g2, reference_quirk)
     y[24 + l1 + VARIANT_LENGTH_OFFSET] = 1
