@@ -93,23 +93,32 @@ def _params_and_cfg():
     return params, cfg
 
 
-def _chained_rate(many, params, x_args, batch, iters=ITERS):
-    """Rate from a jitted fori_loop-chained kernel (see module docstring)."""
+def _chained_rate(many, params, x_args, batch, iters=ITERS, repeats=5):
+    """Rate from a jitted fori_loop-chained kernel (see module docstring).
+
+    Returns (median_rate, spread_dict): `repeats` independent K-iteration
+    timings share one RTT floor (min of the 1-iteration runs), rates are
+    the per-repeat values — median is the headline, min/max the variance
+    bar a shared-host measurement needs (VERDICT r3 #4)."""
     import jax.numpy as jnp
 
-    def run(n):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(many(params, *x_args, jnp.int32(n)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def once(n):
+        t0 = time.perf_counter()
+        float(many(params, *x_args, jnp.int32(n)))
+        return time.perf_counter() - t0
 
     float(many(params, *x_args, jnp.int32(1)))  # warmup + single compile
-    t1 = run(1)
-    tk = run(iters + 1)
-    per_step = max((tk - t1) / iters, 1e-9)
-    return batch / per_step
+    t1 = min(once(1) for _ in range(3))
+    rates = []
+    for _ in range(repeats):
+        tk = once(iters + 1)
+        rates.append(batch / max((tk - t1) / iters, 1e-9))
+    rates.sort()
+    med = rates[len(rates) // 2] if len(rates) % 2 else (
+        0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]))
+    spread = {"min": round(min(rates), 1), "max": round(max(rates), 1),
+              "n": repeats}
+    return med, spread
 
 
 def bench_pileup_model():
@@ -139,16 +148,18 @@ def bench_pileup_model():
     x = jnp.asarray(
         np.random.default_rng(0).integers(-40, 40, (BATCH, 33, 18)),
         jnp.float32)
-    rate = 0.0
+    rate, spread = 0.0, {}
     for use_pallas in ([True, False] if on_tpu else [False]):
         try:
-            rate = _chained_rate(make_many(use_pallas), params, (x,), BATCH)
+            rate, spread = _chained_rate(make_many(use_pallas), params, (x,),
+                                         BATCH)
             break
         except Exception as e:
             sys.stderr.write(f"pileup variant pallas={use_pallas} failed: {e}\n")
     flops = _lstm_flops_per_site(18, 64, 2, 33, proj_out=128)
     peak, kind = _peak_flops()
     return {"sites_per_s": round(rate, 1),
+            "sites_per_s_spread": spread,
             "flops_per_site": flops,
             "mfu_pct": round(100 * rate * flops / peak, 2),
             "peak_assumed": kind}
@@ -197,7 +208,8 @@ def bench_haplotype_model():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     try:
-        rate = _chained_rate(many, params, tuple(args), HAP_BATCH, iters=5)
+        rate, spread = _chained_rate(many, params, tuple(args), HAP_BATCH,
+                                     iters=5)
     except Exception as e:
         sys.stderr.write(f"haplotype bench failed: {e}\n")
         return {"sites_per_s": 0.0}
@@ -205,6 +217,7 @@ def bench_haplotype_model():
              + _lstm_flops_per_site(105, 256, 3, 11, proj_out=256))
     peak, kind = _peak_flops()
     return {"sites_per_s": round(rate, 1),
+            "sites_per_s_spread": spread,
             "flops_per_site": flops,
             "mfu_pct": round(100 * rate * flops / peak, 2),
             "depth": HAP_DEPTH, "batch": HAP_BATCH,
@@ -250,13 +263,47 @@ def bench_s1_native():
             dt = time.perf_counter() - t0
             return len(pile.positions) / dt, len(batch) / dt, len(batch)
 
+        def med(vals):
+            vals = sorted(vals)
+            k = len(vals)
+            return vals[k // 2] if k % 2 else 0.5 * (vals[k // 2 - 1]
+                                                     + vals[k // 2])
+
         ours(1)  # warm page cache / native lib
-        rows_1t, cand_1t, n_cand = ours(1)
-        rows_mt, cand_mt, _ = ours(0)
+        runs_1t = [ours(1) for _ in range(5)]
+        runs_mt = [ours(0) for _ in range(5)]
+        rows_1t = med([r[0] for r in runs_1t])
+        cand_1t = med([r[1] for r in runs_1t])
+        rows_mt = med([r[0] for r in runs_mt])
+        n_cand = runs_1t[0][2]
+
+        # parse-only thread-scaling curve (no file IO / window assembly):
+        # the number the host-roofline argument needs (VERDICT r3 #1)
+        text = open(mp_path, "rb").read()
+
+        def parse_only(nt):
+            t0 = time.perf_counter()
+            pile = parse_mpileup_native(
+                text, "chrB", seq, snp_min_af=fc.snp_min_af,
+                indel_min_af=fc.indel_min_af, min_coverage=fc.min_depth,
+                max_indel=fc.max_indel_size, n_threads=nt)
+            return len(pile.positions) / (time.perf_counter() - t0)
+
+        parse_only(1)
+        curve = {str(nt): round(med([parse_only(nt) for _ in range(5)]), 1)
+                 for nt in (1, 2, 4)}
 
         out = {"rows_per_s_1thread": round(rows_1t, 1),
+               "rows_per_s_1thread_spread": {
+                   "min": round(min(r[0] for r in runs_1t), 1),
+                   "max": round(max(r[0] for r in runs_1t), 1), "n": 5},
                "cand_sites_per_s_1thread": round(cand_1t, 1),
                "rows_per_s_allcores": round(rows_mt, 1),
+               "rows_per_s_allcores_spread": {
+                   "min": round(min(r[0] for r in runs_mt), 1),
+                   "max": round(max(r[0] for r in runs_mt), 1), "n": 5},
+               "parse_only_rows_per_s_by_threads": curve,
+               "parse_scaling_4t": round(curve["4"] / curve["1"], 2),
                "n_rows": len(lines), "n_candidates": n_cand}
         if os.path.exists(REF_BIN):
             odir = os.path.join(tmp, "tensor_out")
@@ -305,13 +352,16 @@ def bench_phaser():
         alts = [h[2] for h in hets]
         with BamFile(bam) as bf:
             phase_contig(bf, "chrP", pos, refs, alts)  # warm block cache
-            best = float("inf")
-            for _ in range(3):
+            ts = []
+            for _ in range(5):
                 t0 = time.perf_counter()
                 res = phase_contig(bf, "chrP", pos, refs, alts)
-                best = min(best, time.perf_counter() - t0)
+                ts.append(time.perf_counter() - t0)
+        ts.sort()
         return {
-            "s_per_mbp_warm_1thread": round(best / (L / 1e6), 3),
+            "s_per_mbp_warm_1thread": round(ts[2] / (L / 1e6), 3),
+            "s_per_mbp_spread": [round(ts[0] / (L / 1e6), 3),
+                                 round(ts[-1] / (L / 1e6), 3)],
             "het_sites": len(pos),
             "phased_sites": int((res.hap_of_alt != 0).sum()),
             "tagged_reads": len(res.read_hp),
@@ -410,10 +460,13 @@ def bench_scaling_2proc():
 
         run_single("warm1")   # populate the compile cache (single config)
         run_dual("warm2")     # ...and the multi-host config's cache entries
-        t1 = run_single("single")
-        t2 = run_dual("dual")
-        single_rate = s2_rate(os.path.join(tmp, "single"))
-        dual_rates = [s2_rate(os.path.join(tmp, "dual", f"host{h}"))
+        t1s = [run_single(f"single{i}") for i in range(3)]
+        t2s = [run_dual(f"dual{i}") for i in range(3)]
+        t1s.sort()
+        t2s.sort()
+        t1, t2 = t1s[1], t2s[1]   # medians; spreads reported below
+        single_rate = s2_rate(os.path.join(tmp, "single0"))
+        dual_rates = [s2_rate(os.path.join(tmp, "dual0", f"host{h}"))
                       for h in range(2)]
         # On this shared 4-core box both "hosts" contend for memory
         # bandwidth and pay full fixed costs (BAM index, model load), so
@@ -422,9 +475,13 @@ def bench_scaling_2proc():
         # inference throughput ratio — the number DCN-scaled TPU hosts
         # would see.
         return {"t_1host_2cores_s": round(t1, 2),
+                "t_1host_spread": [round(t1s[0], 2), round(t1s[-1], 2)],
                 "t_2hosts_2cores_each_s": round(t2, 2),
+                "t_2hosts_spread": [round(t2s[0], 2), round(t2s[-1], 2)],
                 "speedup": round(t1 / t2, 3),
                 "efficiency": round(t1 / (2 * t2), 3),
+                "efficiency_range": [round(t1s[0] / (2 * t2s[-1]), 3),
+                                     round(t1s[-1] / (2 * t2s[0]), 3)],
                 "s2_device_stage_efficiency": round(
                     sum(dual_rates) / (2 * single_rate), 3)
                     if single_rate else None}
@@ -467,35 +524,41 @@ def _device_scaling_worker(n_dev: int) -> None:
                                                       (batch, 33, 18)),
                     jnp.float32), shard_batch(mesh))
     p = jax.device_put(params, replicated(mesh))
-    rate = _chained_rate(many, p, (x,), batch, iters=8)
-    print(json.dumps({"n_dev": n_dev, "sites_per_s": round(rate, 1)}))
+    rate, spread = _chained_rate(many, p, (x,), batch, iters=8)
+    print(json.dumps({"n_dev": n_dev, "sites_per_s": round(rate, 1),
+                      "spread": spread}))
 
 
 def bench_device_scaling():
-    """Device-level multi-chip inference scaling (VERDICT r2 #6).
+    """Device-level multi-chip inference sharding overhead (VERDICT r2 #6,
+    r3 #4).
 
-    Same total batch, sharded over a 1-device vs an 8-device mesh (XLA
-    partitions the program and inserts any collectives). On real multi-chip
-    hardware the ratio is true scaling; on one host's virtual CPU devices
-    (xla_force_host_platform_device_count) the 8 'devices' share the same
-    cores, so aggregate compute is fixed and the honest reading is
-    SHARDING OVERHEAD: efficiency = rate_sharded / rate_single, ~1.0 when
-    partitioning adds no cost. The label in the output says which one was
-    measured."""
+    MATCHED CORE BUDGETS so the ratio is interpretable: the 1-device run is
+    pinned to 1 core and the 8-virtual-device sharded run to 4 cores
+    (taskset), and efficiency compares PER-CORE rates:
+        efficiency = (rate_8dev / 4) / (rate_1dev / 1)
+    On one host's virtual CPU devices aggregate compute scales with the
+    core budget, so any per-core shortfall IS partitioning overhead
+    (r3's unpinned baseline left cores idle and produced an uninterpretable
+    2.1 'efficiency'). On real multi-chip hardware this path is bypassed.
+    """
     import jax
 
     if jax.devices()[0].platform == "tpu" and len(jax.devices()) > 1:
         # real chips: measure in-process (no env juggling needed)
         raise NotImplementedError  # pragma: no cover - no multi-chip here
+    if shutil.which("taskset") is None or (os.cpu_count() or 0) < 4:
+        return {"skipped": "needs taskset + >=4 cores"}
 
-    def run(n_dev):
+    def run(n_dev, cores):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             " --xla_force_host_platform_device_count=8")
         env.pop("NSP_COORDINATOR", None)
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
+            ["taskset", "-c", cores, sys.executable,
+             os.path.abspath(__file__),
              "--device-scaling-worker", str(n_dev)],
             capture_output=True, text=True, env=env, timeout=900,
             cwd=REPO)
@@ -503,18 +566,21 @@ def bench_device_scaling():
             raise RuntimeError(r.stderr[-500:])
         return json.loads(r.stdout.strip().splitlines()[-1])
 
-    r1 = run(1)
-    r8 = run(8)
-    eff = round(r8["sites_per_s"] / max(r1["sites_per_s"], 1e-9), 3)
-    return {"rate_1dev": r1["sites_per_s"],
-            "rate_8dev_sharded": r8["sites_per_s"],
-            "efficiency": eff,
-            "note": ("8 virtual CPU devices share one host's cores: this "
-                     "measures sharding/partitioning cost, not chip "
-                     "scaling (no multi-chip hardware available). >1.0 "
-                     "means the partitioned program also exploited cores "
-                     "a single CPU 'device' left idle; <1.0 would mean "
-                     "partitioning overhead")}
+    r1 = run(1, "0")
+    r8 = run(8, "0-3")
+    per_core_1 = r1["sites_per_s"]
+    per_core_8 = r8["sites_per_s"] / 4.0
+    eff = round(per_core_8 / max(per_core_1, 1e-9), 3)
+    return {"rate_1dev_1core": r1["sites_per_s"],
+            "rate_8dev_4cores": r8["sites_per_s"],
+            "spread_1dev": r1.get("spread"),
+            "spread_8dev": r8.get("spread"),
+            "efficiency_per_core": eff,
+            "note": ("matched core budgets (taskset 1 core vs 4 cores, "
+                     "per-core rate ratio): <1.0 is the partitioning "
+                     "overhead of the 8-way sharded program; no multi-chip "
+                     "hardware available, so chip scaling is validated by "
+                     "the sharded-VCF dryrun instead")}
 
 
 def bench_torch_cpu() -> float:
@@ -592,8 +658,9 @@ def bench_catmodel():
         _, acc = jax.lax.fori_loop(0, iters, body, (g0, jnp.float32(0.0)))
         return acc
 
-    rate = _chained_rate(many, params, (g0, g1), n, iters=5)
-    return {"sites_per_s": round(rate, 1), "batch": n}
+    rate, spread = _chained_rate(many, params, (g0, g1), n, iters=5)
+    return {"sites_per_s": round(rate, 1), "sites_per_s_spread": spread,
+            "batch": n}
 
 
 def _probe_backend(timeout_s: float = 180.0) -> str:
@@ -652,6 +719,23 @@ def main():
             extra["scaling"]["device_inference"] = bench_device_scaling()
         except Exception as e:
             extra["scaling"]["device_inference"] = {"error": str(e)[:300]}
+    # chromosome-scale evidence measured out-of-band (a full 100 Mbp x 30x
+    # pipeline run is minutes — too slow to re-run per bench invocation);
+    # see scripts/stage_breakdown.py for the reproduction command
+    ev = os.path.join(REPO, "docs", "evidence", "stage_breakdown_r4.json")
+    if os.path.exists(ev):
+        try:
+            rec = json.load(open(ev))
+            extra["stage_breakdown_100mbp"] = {
+                "tag": rec.get("tag"),
+                "world_mbp": rec.get("world", {}).get("mbp"),
+                "stage_total_s_per_mbp": rec.get("stage_total_s_per_mbp"),
+                "stages_s_per_mbp": {k: v.get("s_per_mbp")
+                                     for k, v in rec.get("stages", {}).items()},
+                "f1": {k: v.get("f1") for k, v in rec.get("f1", {}).items()},
+            }
+        except Exception:
+            pass
     try:
         base = bench_torch_cpu()
     except Exception:

@@ -83,7 +83,7 @@ def get_lib() -> ctypes.CDLL:
         lib.nsp_parse_mpileup.restype = ctypes.c_int64
         lib.nsp_parse_mpileup.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,          # buf
-            ctypes.c_char_p, ctypes.c_int64,          # ref
+            ctypes.c_void_p, ctypes.c_int64,          # ref (uint8 array)
             ctypes.c_double, ctypes.c_double,         # afs
             ctypes.c_int, ctypes.c_int,               # min_cov, max_indel
             ctypes.c_void_p, ctypes.c_void_p,         # bed masks
@@ -120,21 +120,28 @@ def parse_mpileup_native(
 
     lib = get_lib()
     n = lib.nsp_count_rows(text, len(text))
-    positions = np.zeros(n, dtype=np.int64)
-    counts = np.zeros((n, 18), dtype=np.int32)
-    depths = np.zeros(n, dtype=np.int32)
-    cand = np.zeros(n, dtype=np.uint8)
-    afs = np.zeros(n, dtype=np.float64)
-    alt_off = np.zeros(2 * n, dtype=np.int64)
-    ref_bytes = chr_seq.tobytes()
+    # np.empty, not zeros: the kernel writes every kept row and the caller
+    # slices to [:m]; zeroing ~70 MB/Mrow of outputs was measurable serial
+    # wall on the s1 critical path
+    positions = np.empty(n, dtype=np.int64)
+    counts = np.empty((n, 18), dtype=np.int32)
+    depths = np.empty(n, dtype=np.int32)
+    cand = np.empty(n, dtype=np.uint8)
+    afs = np.empty(n, dtype=np.float64)
+    alt_off = np.empty(2 * n, dtype=np.int64)
+    # zero-copy when chr_seq is already a contiguous uint8 array (the
+    # FastaReference.contig layout); .tobytes() copied the whole contig
+    ref_arr = np.ascontiguousarray(chr_seq.view(np.uint8)
+                                   if chr_seq.dtype == np.uint8 else
+                                   np.frombuffer(chr_seq.tobytes(), np.uint8))
     bed8 = bed_mask.astype(np.uint8) if bed_mask is not None else None
     conf8 = confident_mask.astype(np.uint8) if confident_mask is not None else None
 
     alt_cap = max(1 << 16, 64 * n)
     for _ in range(3):
-        alt_buf = np.zeros(alt_cap, dtype=np.uint8)
+        alt_buf = np.empty(alt_cap, dtype=np.uint8)
         ret = lib.nsp_parse_mpileup(
-            text, len(text), ref_bytes, len(ref_bytes),
+            text, len(text), _ptr(ref_arr), len(ref_arr),
             snp_min_af, indel_min_af, min_coverage, max_indel,
             _ptr(bed8), _ptr(conf8), n_threads,
             _ptr(positions), _ptr(counts), _ptr(depths), _ptr(cand),

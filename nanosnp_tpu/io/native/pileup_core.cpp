@@ -22,6 +22,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
+
 #include "pileup_common.hpp"
 
 using nsp::IndelObs;
@@ -62,6 +66,62 @@ struct RowScratch {
   std::vector<IndelObs> indels;   // sized to the row's distinct events
 };
 
+// Bulk scan of the base string from p: count the 10 single-observation
+// chars (ACGT acgt * #; N/n/$ and friends are no-ops) until the first
+// structural char ('+', '-' indel introducers or '^' mapq-skip). Returns
+// the offset of that char, or len if none. AVX-512BW path classifies 64
+// bytes per iteration (mpileup base strings are overwhelmingly plain base
+// runs: read starts '^X' appear once per read, indels on a few % of rows).
+int64_t scan_singles(const char* p, int64_t len, int32_t* singles) {
+#if defined(__AVX512BW__)
+  static const char kChars[10] = {'A', 'C', 'G', 'T', 'a', 'c', 'g', 't',
+                                  '*', '#'};
+  const __m512i vplus = _mm512_set1_epi8('+');
+  const __m512i vminus = _mm512_set1_epi8('-');
+  const __m512i vcaret = _mm512_set1_epi8('^');
+  int64_t cnt[10] = {0};
+  int64_t i = 0;
+  while (i < len) {
+    int64_t rem = len - i;
+    __mmask64 loadm =
+        rem >= 64 ? ~(__mmask64)0 : (((__mmask64)1 << rem) - 1);
+    __m512i v = _mm512_maskz_loadu_epi8(loadm, p + i);
+    __mmask64 special = (_mm512_cmpeq_epi8_mask(v, vplus) |
+                         _mm512_cmpeq_epi8_mask(v, vminus) |
+                         _mm512_cmpeq_epi8_mask(v, vcaret)) &
+                        loadm;
+    __mmask64 valid = loadm;
+    int64_t step = rem >= 64 ? 64 : rem;
+    if (special) {
+      int tz = __builtin_ctzll((uint64_t)special);
+      valid = tz ? (((__mmask64)1 << tz) - 1) : 0;
+      step = tz;
+    }
+    if (valid) {
+      for (int c = 0; c < 10; ++c) {
+        __mmask64 m =
+            _mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(kChars[c])) & valid;
+        cnt[c] += __builtin_popcountll((uint64_t)m);
+      }
+    }
+    i += step;
+    if (special) break;
+  }
+  // SingleIdx layout matches kChars order (S_A..S_t, S_STAR, S_POUND)
+  for (int c = 0; c < 10; ++c) singles[c] += (int32_t)cnt[c];
+  return i;
+#else
+  int64_t i = 0;
+  for (; i < len; ++i) {
+    char b = p[i];
+    if (b == '+' || b == '-' || b == '^') break;
+    int8_t s = TT.single[(uint8_t)b];
+    if (s >= 0) ++singles[s];
+  }
+  return i;
+#endif
+}
+
 // singles_out exposes the per-row observations so the caller can build
 // alt_info lazily (candidates only, ~2-5% of rows); scratch->indels holds
 // the row's distinct indel observations after the call.
@@ -81,42 +141,42 @@ void parse_row(const char* bases, int64_t blen, const char* ref_seq,
 
   int64_t i = 0;
   while (i < blen) {
+    i += scan_singles(bases + i, blen - i, singles);
+    if (i >= blen) break;
     char b = bases[i];
-    if (b == '+' || b == '-') {
-      ++i;
-      int64_t adv = 0;
-      while (i < blen && bases[i] >= '0' && bases[i] <= '9') {
-        adv = adv * 10 + (bases[i] - '0');
-        ++i;
-      }
-      if (adv <= max_indel) {
-        const char* kp = bases + i;
-        bool found = false;
-        for (size_t t = 0; t < nk; ++t) {
-          auto& kc = indel_keys[t];
-          if ((int64_t)kc.key.size() == adv + 1 && kc.key[0] == b &&
-              std::memcmp(kc.key.data() + 1, kp, (size_t)adv) == 0) {
-            ++kc.count;
-            found = true;
-            break;
-          }
-        }
-        if (!found) {
-          if (nk == indel_keys.size()) indel_keys.emplace_back();
-          auto& kc = indel_keys[nk++];
-          kc.count = 1;
-          kc.key.clear();                 // keeps capacity
-          kc.key.push_back(b);
-          kc.key.append(kp, (size_t)adv);
-        }
-      }
-      i += adv - 1;
-    } else if (TT.normal[(uint8_t)b]) {
-      if (TT.single[(uint8_t)b] >= 0) ++singles[TT.single[(uint8_t)b]];
-    } else if (b == '^') {
+    if (b == '^') {
+      i += 2;  // '^' + the mapq char (which may itself be any byte)
+      continue;
+    }
+    // b is '+' or '-'
+    ++i;
+    int64_t adv = 0;
+    while (i < blen && bases[i] >= '0' && bases[i] <= '9') {
+      adv = adv * 10 + (bases[i] - '0');
       ++i;
     }
-    ++i;
+    if (adv <= max_indel) {
+      const char* kp = bases + i;
+      bool found = false;
+      for (size_t t = 0; t < nk; ++t) {
+        auto& kc = indel_keys[t];
+        if ((int64_t)kc.key.size() == adv + 1 && kc.key[0] == b &&
+            std::memcmp(kc.key.data() + 1, kp, (size_t)adv) == 0) {
+          ++kc.count;
+          found = true;
+          break;
+        }
+      }
+      if (!found) {
+        if (nk == indel_keys.size()) indel_keys.emplace_back();
+        auto& kc = indel_keys[nk++];
+        kc.count = 1;
+        kc.key.clear();                 // keeps capacity
+        kc.key.push_back(b);
+        kc.key.append(kp, (size_t)adv);
+      }
+    }
+    i += adv;
   }
   scratch->n_keys = nk;
   // no sort: aggregate_position is order-independent (sums/maxes) and
@@ -156,15 +216,40 @@ void materialize_indel_seqs(RowScratch* scratch) {
 
 extern "C" {
 
+// newline-aligned chunk starts for parallel text sweeps: starts[k] points
+// at the first byte of a line, starts[n_chunks] = end
+static void chunk_starts(const char* buf, int64_t len, int n_chunks,
+                         std::vector<const char*>& starts) {
+  starts.assign((size_t)n_chunks + 1, buf + len);
+  starts[0] = buf;
+  for (int k = 1; k < n_chunks; ++k) {
+    const char* guess = buf + len * k / n_chunks;
+    if (guess <= starts[k - 1]) { starts[k] = starts[k - 1]; continue; }
+    const char* nl =
+        (const char*)memchr(guess, '\n', (size_t)(buf + len - guess));
+    starts[k] = nl ? nl + 1 : buf + len;
+  }
+}
+
 int64_t nsp_count_rows(const char* buf, int64_t len) {
+#ifdef _OPENMP
+  const int nt = omp_get_num_procs();
+#else
+  const int nt = 1;
+#endif
+  std::vector<const char*> starts;
+  chunk_starts(buf, len, nt, starts);
   int64_t n = 0;
-  const char* p = buf;
-  const char* end = buf + len;
-  while (p < end) {
-    const char* nl = (const char*)memchr(p, '\n', end - p);
-    if (!nl) { ++n; break; }
-    if (nl > p) ++n;
-    p = nl + 1;
+#pragma omp parallel for reduction(+ : n) num_threads(nt)
+  for (int k = 0; k < nt; ++k) {
+    const char* p = starts[k];
+    const char* end = starts[k + 1];
+    while (p < end) {
+      const char* nl = (const char*)memchr(p, '\n', end - p);
+      if (!nl) { ++n; break; }
+      if (nl > p) ++n;
+      p = nl + 1;
+    }
   }
   return n;
 }
@@ -178,19 +263,6 @@ int64_t nsp_parse_mpileup(
     int64_t* positions, int32_t* counts, int32_t* depths,
     uint8_t* is_candidate, double* afs,
     char* alt_buf, int64_t alt_cap, int64_t* alt_off) {
-  std::vector<std::pair<const char*, const char*>> lines;
-  {
-    const char* p = buf;
-    const char* end = buf + len;
-    while (p < end) {
-      const char* nl = (const char*)memchr(p, '\n', end - p);
-      const char* eol = nl ? nl : end;
-      if (eol > p) lines.emplace_back(p, eol);
-      p = eol + 1;
-    }
-  }
-  const int64_t n = (int64_t)lines.size();
-
   // Per-region thread count, NOT omp_set_num_threads: that call is
   // process-global, so a prior n_threads=1 parse would silently pin every
   // later n_threads=0 ("all cores") parse to one thread.
@@ -201,12 +273,61 @@ int64_t nsp_parse_mpileup(
   (void)nt;
 #endif
 
-  std::vector<std::string> alt_strs(n);
+  // parallel newline-aligned line split (serial memchr over the whole
+  // buffer was ~25% of wall at 4 threads)
+  std::vector<std::pair<const char*, const char*>> lines;
+  {
+    std::vector<const char*> starts;
+    chunk_starts(buf, len, nt, starts);
+    std::vector<std::vector<std::pair<const char*, const char*>>> part(nt);
+#pragma omp parallel for num_threads(nt) schedule(static)
+    for (int k = 0; k < nt; ++k) {
+      auto& lk = part[k];
+      lk.reserve((size_t)((starts[k + 1] - starts[k]) / 64) + 4);
+      const char* p = starts[k];
+      const char* end = starts[k + 1];
+      while (p < end) {
+        const char* nl = (const char*)memchr(p, '\n', end - p);
+        const char* eol = nl ? nl : end;
+        if (eol > p) lk.emplace_back(p, eol);
+        p = eol + 1;
+      }
+    }
+    size_t total = 0;
+    std::vector<size_t> off(nt + 1, 0);
+    for (int k = 0; k < nt; ++k) {
+      off[k] = total;
+      total += part[k].size();
+    }
+    off[nt] = total;
+    lines.resize(total);
+#pragma omp parallel for num_threads(nt) schedule(static)
+    for (int k = 0; k < nt; ++k) {
+      if (!part[k].empty())
+        std::memcpy(lines.data() + off[k], part[k].data(),
+                    part[k].size() * sizeof(lines[0]));
+    }
+  }
+  const int64_t n = (int64_t)lines.size();
+
+  // per-thread alt-info pools: only candidate rows (~2-5%) carry alt
+  // strings, so a dense vector<string>(n) wasted allocation + touch
+  struct AltRec { int64_t row, start, size; };
+  std::vector<std::string> alt_pool(nt);
+  std::vector<std::vector<AltRec>> alt_recs(nt);
   std::vector<uint8_t> keep(n, 1);
 
 #pragma omp parallel num_threads(nt)
  {
   RowScratch scratch;
+#ifdef _OPENMP
+  const int tid = omp_get_thread_num();
+#else
+  const int tid = 0;
+#endif
+  std::string& pool = alt_pool[tid];
+  std::vector<AltRec>& recs = alt_recs[tid];
+  std::string alt_tmp;
 #pragma omp for schedule(static)
   for (int64_t r = 0; r < n; ++r) {
     const char* p = lines[r].first;
@@ -261,15 +382,20 @@ int64_t nsp_parse_mpileup(
     if (cand) {
       materialize_indel_seqs(&scratch);
       nsp::build_alt_info(singles, scratch.indels, ref_seq, ref_len, pos1,
-                          &alt_strs[r]);
-    } else {
-      alt_strs[r].clear();
+                          &alt_tmp);
+      recs.push_back({r, (int64_t)pool.size(), (int64_t)alt_tmp.size()});
+      pool += alt_tmp;
     }
   }
  }  // omp parallel
 
+  // schedule(static) hands thread k a contiguous row range, so walking
+  // alt_recs in thread order visits rows in ascending order
   int64_t w = 0;
   int64_t alt_used = 0;
+  int rk = 0;
+  size_t ri = 0;
+  while (rk < nt && alt_recs[rk].empty()) ++rk;
   for (int64_t r = 0; r < n; ++r) {
     if (!keep[r]) continue;
     if (w != r) {
@@ -280,12 +406,21 @@ int64_t nsp_parse_mpileup(
       std::memcpy(counts + w * nsp::NUM_CH, counts + r * nsp::NUM_CH,
                   nsp::NUM_CH * sizeof(int32_t));
     }
-    int64_t sl = (int64_t)alt_strs[r].size();
+    int64_t sl = 0;
+    if (rk < nt && alt_recs[rk][ri].row == r) {
+      const AltRec& rec = alt_recs[rk][ri];
+      sl = rec.size;
+      if (alt_used + sl <= alt_cap)
+        std::memcpy(alt_buf + alt_used, alt_pool[rk].data() + rec.start,
+                    (size_t)sl);
+      if (++ri >= alt_recs[rk].size()) {
+        ri = 0;
+        ++rk;
+        while (rk < nt && alt_recs[rk].empty()) ++rk;
+      }
+    }
     alt_off[2 * w] = alt_used;
     alt_off[2 * w + 1] = alt_used + sl;
-    if (alt_used + sl <= alt_cap) {
-      std::memcpy(alt_buf + alt_used, alt_strs[r].data(), sl);
-    }
     alt_used += sl;
     ++w;
   }

@@ -44,12 +44,66 @@ fi
 ( cd "$NANOSNP_REF" && bash run_caller.sh -b "$BAM" -f "$REF" \
     -t "$THREADS" -c 30 -o "$OUT/ref_out" )
 
+echo "== [1b] depth-admission differential (samtools vs depth_mode=push) =="
+# `depth_mode: push` implements htslib's bam_plp_push whole-read admission
+# (incl. the coverage-spike shadow) but in this dev container it has only
+# ever been validated against a pure-Python model of the rule. BEFORE the
+# default can flip from `column` to `push`, this differential must pass on
+# a machine with real samtools: same BAM, samtools mpileup --max-depth 144
+# (the reference make_predict_data.sh operating point) vs our push-mode
+# engine, row-for-row depth comparison.
+REPO="$REPO" python - "$BAM" "$REF" "$CONTIG" <<'EOF'
+import os, subprocess, sys
+bam, ref, contig = sys.argv[1:4]
+sys.path.insert(0, os.environ["REPO"])
+import numpy as np
+from nanosnp_tpu.io.bam import BamFile
+from nanosnp_tpu.io.fasta import FastaReference
+
+# exact reference operating point: make_predict_data.sh:117
+# SAMTOOS_MPILEUP_OPTIONS
+txt = subprocess.run(
+    ["samtools", "mpileup", "-r", contig, "--min-MQ", "20", "--min-BQ", "0",
+     "--reverse-del", "--excl-flags", "2316", "--max-depth", "144", bam],
+    capture_output=True, text=True, check=True).stdout
+want = {}
+for line in txt.splitlines():
+    f = line.split("\t")
+    if len(f) >= 4:
+        want[int(f[1])] = int(f[3])
+seq = FastaReference(ref).contig(contig)
+with BamFile(bam) as bf:
+    pile = bf.pileup_region(contig, 0, len(seq), seq, min_mq=20,
+                            excl_flags=2316, max_depth=144,
+                            depth_mode="push")
+bad = 0
+for p, d in zip(pile.positions, pile.depths):
+    wd = want.get(int(p))
+    if wd is not None and wd != int(d):
+        bad += 1
+        if bad <= 10:
+            print(f"  depth mismatch at {contig}:{p}: samtools {wd} vs push {d}")
+print(f"depth differential: {len(pile.positions)} rows, {bad} mismatches")
+sys.exit(1 if bad else 0)
+EOF
+echo "   (green run above = evidence to flip PileupFeatureConfig.depth_mode"
+echo "    default to 'push'; file the flip with this log attached)"
+
 echo "== [2/3] nanosnp_tpu pipeline =="
+# Strict-parity knobs for this run (production defaults differ):
+#   --defer-unphased-frac 0   : the unphased-rescue deferral gate is OUR
+#                               improvement (no reference counterpart);
+#                               parity diffs need reference behavior.
+#   --depth-mode column       : exact per-column cap until [1b] above has
+#                               proven push against real samtools.
+#   phaser_min_block_sites=2  : matches whatshap's no-singleton-block
+#                               semantics (config default; nothing to pass).
 ( cd "$REPO" && python -m nanosnp_tpu.runtime.cli call \
     --bam "$BAM" --ref "$REF" \
     --pileup-model "$NANOSNP_REF/PileupModel/models/ont_pileup.chkpt" \
     --haplotype-model "${HAPLOTYPE_CKPT:-$REPO/nanosnp_tpu/models/weights/ont_haplotype_synthetic.npz}" \
     --phaser whatshap --contigs "$CONTIG" \
+    --defer-unphased-frac 0 --depth-mode column \
     --threads "$THREADS" -o "$OUT/tpu_out" )
 
 echo "== [3/3] stage-by-stage diffs =="
