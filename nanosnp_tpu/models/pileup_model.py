@@ -51,8 +51,34 @@ def pileup_forward(
     if use_pallas and dropout_rng is None:
         from ..ops.pallas_lstm import bilstm_encoder_pallas
 
-        ctr = bilstm_encoder_pallas(params["encoder"], x, center_only=True,
-                                    interpret=pallas_interpret)  # [N, 2H]
+        # ForwardLayer head fused into the center recurrence kernel: all
+        # four heads concatenate into one [Hout, inner] matmul, rows
+        # padded to the f32 sublane tile (8); logits come straight out of
+        # the Pallas program (VERDICT r3 #7)
+        names = ["gt", "zy"] + (["id1", "id2"] if all_heads else [])
+        wh = jnp.concatenate([params[k]["w"].T for k in names], axis=0)
+        bh = jnp.concatenate([params[k]["b"] for k in names])[:, None]
+        rows = wh.shape[0]
+        rpad = (-rows) % 8
+        if rpad:
+            wh = jnp.pad(wh, ((0, rpad), (0, 0)))
+            bh = jnp.pad(bh, ((0, rpad), (0, 0)))
+        head = (params["proj"]["w"].T, params["proj"]["b"][:, None],
+                params["dense"]["w"].T, params["dense"]["b"][:, None],
+                wh, bh)
+        logits = bilstm_encoder_pallas(
+            params["encoder"], x, center_only=True, head=head,
+            interpret=pallas_interpret)                  # [N, rows+rpad]
+        sizes = {"gt": cfg.gt_num_class, "zy": cfg.zy_num_class,
+                 "id1": cfg.indel1_num_class, "id2": cfg.indel2_num_class}
+        outs = []
+        off = 0
+        for k in names:
+            outs.append(logits[:, off: off + sizes[k]])
+            off += sizes[k]
+        if all_heads:
+            return tuple(outs)
+        return outs[0], outs[1], None, None
     else:
         # training path: the per-layer Pallas recurrence is differentiable
         # (custom VJP), dropout stays in XLA between layers

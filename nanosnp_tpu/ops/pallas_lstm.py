@@ -553,6 +553,114 @@ def _enc_center_kernel(x_hbm, wih_ref, w_ref, b_ref, out_ref, h_ref, c_ref,
             out_ref[...] = h.astype(out_ref.dtype)
 
 
+def _enc_center_head_kernel(x_hbm, wih_ref, w_ref, b_ref, wp_ref, bp_ref,
+                            wd_ref, bd_ref, wh_ref, bh_ref, out_ref, h_ref,
+                            c_ref, xbuf, in_sems, *, seq_len, hidden,
+                            block_n):
+    """_enc_center_kernel + the ForwardLayer head fused in VMEM
+    (VERDICT r3 #7): proj(2H->P) -> tanh(dense(P->Q)) -> all heads as one
+    [Hout, Q] matmul, computed ONCE at the center step. Removes the
+    [2, H, N] center write + the separate XLA head program + its HBM
+    round-trips; the three small matmuls run once per block, not per
+    timestep, so their MXU cost is noise. Math matches models/bilstm.py
+    linear(): operands cast to the weight dtype, f32 accumulation, f32
+    bias adds, f32 tanh."""
+    i = pl.program_id(0)
+    center = seq_len // 2
+
+    def _time(t, d):
+        return seq_len - 1 - t if d == 1 else t
+
+    def in_copy(t, slot):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[_time(t, d), :, pl.ds(i * block_n, block_n)],
+                xbuf.at[slot, d], in_sems.at[slot, d])
+            for d in (0, 1)
+        ]
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    for cp in in_copy(0, 0):
+        cp.start()
+
+    for t in range(seq_len):
+        slot = t % 2
+        if t + 1 < seq_len:
+            for cp in in_copy(t + 1, (t + 1) % 2):
+                cp.start()
+        for cp in in_copy(t, slot):
+            cp.wait()
+        gates = jax.lax.dot_general(
+            wih_ref[...], xbuf[slot],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + jax.lax.dot_general(
+            w_ref[...], h_ref[...].astype(w_ref.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        gates = gates + b_ref[...]
+        ig = jax.nn.sigmoid(gates[:, :hidden, :])
+        fg = jax.nn.sigmoid(gates[:, hidden: 2 * hidden, :])
+        gg = jnp.tanh(gates[:, 2 * hidden: 3 * hidden, :])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden:, :])
+        c = fg * c_ref[...] + ig * gg
+        h = og * jnp.tanh(c)
+        c_ref[...] = c
+        h_ref[...] = h
+        if t == center:
+            wdt = wp_ref.dtype
+            ctr = jnp.concatenate([h[0], h[1]], axis=0)     # [2H, BN]
+            feat = jax.lax.dot_general(
+                wp_ref[...], ctr.astype(wdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bp_ref[...]
+            feat = jnp.tanh(jax.lax.dot_general(
+                wd_ref[...], feat.astype(wdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bd_ref[...])
+            out_ref[...] = jax.lax.dot_general(
+                wh_ref[...], feat.astype(wdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bh_ref[...]
+
+
+def _run_enc_center_head(x_t, wih_t, w_t, b, head, *, seq_len, hidden,
+                         gate_dim, block_n, interpret):
+    """Like _run_enc_center but emits head logits [Hout_pad, Npad]."""
+    n_pad = x_t.shape[-1]
+    d_pad = x_t.shape[1]
+    grid = (n_pad // block_n,)
+    wp, bp, wd, bd, wh, bh = head
+    n_out = wh.shape[0]
+    return pl.pallas_call(
+        functools.partial(_enc_center_head_kernel, seq_len=seq_len,
+                          hidden=hidden, block_n=block_n),
+        out_shape=jax.ShapeDtypeStruct((n_out, n_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((2, gate_dim, d_pad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec(wp.shape, lambda i: (0, 0)),
+            pl.BlockSpec(bp.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wd.shape, lambda i: (0, 0)),
+            pl.BlockSpec(bd.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wh.shape, lambda i: (0, 0)),
+            pl.BlockSpec(bh.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_out, block_n), lambda i: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # h
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),       # c
+            pltpu.VMEM((2, 2, d_pad, block_n), x_t.dtype),       # in slabs
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(x_t, wih_t, w_t, b, wp, bp, wd, bd, wh, bh)
+
+
 def _enc_kfused_body(x_hbm, wcat_ref, b_ref, h_ref, c_ref, xbuf, in_sems,
                      *, seq_len, hidden, d_pad, block_n, on_step):
     """Shared time loop for the K-fused encoder kernels.
@@ -830,6 +938,23 @@ def bilstm_layer_pallas(
     return hs
 
 
+def _apply_head_xla(ctr, head, compute_dtype):
+    """XLA fallback for the fused head (same [out, in] weight layout)."""
+    wp, bp, wd, bd, wh, bh = head
+
+    def lin(w, b_, x_):
+        y = jax.lax.dot_general(
+            w.astype(compute_dtype), x_.astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y + b_.astype(jnp.float32)
+
+    xt = jnp.transpose(ctr, (1, 0))                      # [2H, N]
+    feat = lin(wp, bp, xt)
+    feat = jnp.tanh(lin(wd, bd, feat))
+    return jnp.transpose(lin(wh, bh, feat), (1, 0))      # [N, Hout]
+
+
 def bilstm_encoder_pallas(
     layers,
     x: jnp.ndarray,          # [N, L, D]
@@ -839,6 +964,7 @@ def bilstm_encoder_pallas(
     interpret: bool = False,
     center_only: bool = False,
     fused: bool = True,
+    head=None,
 ):
     """Full multi-layer BiLSTM encoder on the Pallas recurrence, staying in
     batch-last [L, feat, N] layout across layers: no reversal or transpose
@@ -889,6 +1015,18 @@ def bilstm_encoder_pallas(
                 wcat_t = jnp.concatenate(
                     [wih_t, w_t.astype(wih_t.dtype)], axis=2)
             if last and center_only and seq_len % 2 == 1:
+                if head is not None and not kfuse:
+                    # fused ForwardLayer head (VERDICT r3 #7): logits come
+                    # straight out of the recurrence kernel
+                    logits = _run_enc_center_head(
+                        x_t, wih_t, w_t, b,
+                        tuple(a.astype(compute_dtype) if j % 2 == 0
+                              else a.astype(jnp.float32)
+                              for j, a in enumerate(head)),
+                        seq_len=seq_len, hidden=hidden, gate_dim=gate_dim,
+                        block_n=block_n, interpret=interpret)
+                    logits = jnp.transpose(logits, (1, 0))   # [Npad, Hout]
+                    return logits[:n] if pad else logits
                 if kfuse:
                     ctr = _run_enc_center_kfused(
                         x_t, wcat_t, b, seq_len=seq_len, hidden=hidden,
@@ -900,7 +1038,10 @@ def bilstm_encoder_pallas(
                         gate_dim=gate_dim, block_n=block_n,
                         interpret=interpret)
                 ctr = jnp.transpose(ctr.reshape(2 * hidden, -1), (1, 0))
-                return ctr[:n] if pad else ctr
+                ctr = ctr[:n] if pad else ctr
+                if head is not None:   # kernel path not taken: XLA head
+                    return _apply_head_xla(ctr, head, compute_dtype)
+                return ctr
             if kfuse:
                 hs = _run_enc_stream_kfused(
                     x_t, wcat_t, b, seq_len=seq_len, hidden=hidden,
@@ -928,6 +1069,9 @@ def bilstm_encoder_pallas(
     if center_only:
         ctr = hs[seq_len // 2].reshape(2 * hidden, -1)   # [2H, Npad]
         ctr = jnp.transpose(ctr, (1, 0))
-        return ctr[:n] if pad else ctr
+        ctr = ctr[:n] if pad else ctr
+        if head is not None:
+            return _apply_head_xla(ctr, head, compute_dtype)
+        return ctr
     full = jnp.transpose(hs, (3, 0, 1, 2)).reshape(-1, seq_len, 2 * hidden)
     return full[:n] if pad else full

@@ -56,18 +56,39 @@ class BatchedPredictor:
         res = self._fn(self.params, *chunks)
         return res if isinstance(res, (tuple, list)) else (res,)
 
-    def run(self, *arrays: np.ndarray) -> List[np.ndarray]:
+    def run(self, *arrays: np.ndarray,
+            fetch_stride: int = 8) -> List[np.ndarray]:
         """arrays: host arrays with common leading dim N. Returns outputs
         with the padding stripped, concatenated over all batches.
 
-        Dispatch runs up to `max_in_flight` batches ahead of the fetches
-        (JAX arrays are async futures): device compute for batch i+1
-        overlaps the host-side fetch of batch i, while bounding in-flight
-        device buffers so large N cannot exhaust HBM."""
+        Dispatch runs ahead of the fetches (JAX arrays are async futures);
+        results accumulate ON DEVICE and are fetched once per
+        `fetch_stride` batches via an on-device concatenation: each host
+        fetch is a full device round-trip, and through a relay-tunneled
+        chip a round-trip costs seconds — per-batch fetches made the s2/s5
+        stages RTT-bound (measured on the 100 Mbp world). The stride
+        bounds in-flight device buffers so large N cannot exhaust HBM."""
         n = arrays[0].shape[0]
         bs = self.batch_size
-        pending: List = []
+        stride = max(int(fetch_stride), 1)
+        group: List = []          # [(m, res_tuple)] awaiting device concat
+        pending: List = []        # [(valid_rows, concat_res)] awaiting fetch
         outs: List[List[np.ndarray]] = []
+
+        def flush_group():
+            if not group:
+                return
+            valid = sum(m for m, _ in group)
+            k = len(group[0][1])
+            if len(group) == 1:
+                cat = group[0][1]
+            else:
+                cat = tuple(jnp.concatenate([g[1][i] for g in group])
+                            for i in range(k))
+            # only the final batch of a group may be padded, so the
+            # concatenation's first `valid` rows are exactly the real ones
+            pending.append((valid, cat))
+            group.clear()
 
         def drain_one():
             m, res = pending.pop(0)
@@ -85,9 +106,16 @@ class BatchedPredictor:
             res = self._fn(self.params, *device_chunk)
             if not isinstance(res, (tuple, list)):
                 res = (res,)
-            pending.append((m, res))
+            if m < bs:        # padded tail must close its group
+                group.append((m, tuple(res)))
+                flush_group()
+            else:
+                group.append((m, tuple(res)))
+                if len(group) >= stride:
+                    flush_group()
             while len(pending) > self.max_in_flight:
                 drain_one()
+        flush_group()
         while pending:
             drain_one()
         if not outs:

@@ -664,9 +664,14 @@ def run_pileup_columnar(cfg: PipelineConfig, params, shard) -> Tuple:
     pending: List = []
 
     def drain_one():
-        m, res = pending.pop(0)
-        gts.append(np.asarray(res[0])[:m])
-        zys.append(np.asarray(res[1])[:m])
+        # one host fetch per UNIT, not per batch: the per-batch fetches
+        # were ~40 device round-trips per contig; through a relay-tunneled
+        # chip each completion costs seconds of RTT (measured on the
+        # 100 Mbp world: s2 was RTT-bound at ~2.9 s/batch). The unit's
+        # batches are concatenated on device and fetched in one transfer.
+        m, res_gt, res_zy = pending.pop(0)
+        gts.append(np.asarray(res_gt)[:m])
+        zys.append(np.asarray(res_zy)[:m])
 
     i = 0
     while i < n:
@@ -693,16 +698,26 @@ def run_pileup_columnar(cfg: PipelineConfig, params, shard) -> Tuple:
             cols = pad
         cols_dev = jax.device_put(cols)
         idx_all = (cand_off[i:j] - lo).astype(np.int32)
+        unit_gt: List = []
+        unit_zy: List = []
         for s in range(0, j - i, bs):
             idx = idx_all[s: s + bs]
             m = len(idx)
             if m < bs:
                 idx = np.concatenate(
                     [idx, np.full(bs - m, flank, np.int32)])
-            res = fn(params, cols_dev, jnp.asarray(idx))
-            pending.append((m, res))
-            while len(pending) > 2:
-                drain_one()
+            gt_d, zy_d = fn(params, cols_dev, jnp.asarray(idx))
+            unit_gt.append(gt_d)
+            unit_zy.append(zy_d)
+        # batches are full-sized except the unit's last (padded): valid
+        # rows of the concatenation are exactly the first (j - i)
+        pending.append((j - i,
+                        unit_gt[0] if len(unit_gt) == 1
+                        else jnp.concatenate(unit_gt),
+                        unit_zy[0] if len(unit_zy) == 1
+                        else jnp.concatenate(unit_zy)))
+        while len(pending) > 1:
+            drain_one()
         i = j
     while pending:
         drain_one()
