@@ -48,7 +48,16 @@ def pileup_forward(
     """x: [N, 33, 18] float. Returns (gt, zy, id1, id2) logits (id* None if
     all_heads=False)."""
     center = cfg.seq_len // 2
-    if use_pallas and dropout_rng is None:
+    import os as _os
+    # Head-in-kernel fusion is a MEASURED NEGATIVE on v5e (r4 A/B,
+    # same-condition medians: XLA head 6.99M sites/s vs fused 6.76M):
+    # the three small head matmuls serialize per block inside the Pallas
+    # program, while the XLA head runs once, batched over the full
+    # [N, 2H] center slice, and overlaps adjacent kernels. Kept behind
+    # NSP_FUSE_HEAD=1 for re-evaluation on other TPU generations;
+    # docs/ROOFLINE.md "measured negatives" has the numbers.
+    fuse_head = _os.environ.get("NSP_FUSE_HEAD", "0") == "1"
+    if use_pallas and dropout_rng is None and fuse_head:
         from ..ops.pallas_lstm import bilstm_encoder_pallas
 
         # ForwardLayer head fused into the center recurrence kernel: all
@@ -79,6 +88,13 @@ def pileup_forward(
         if all_heads:
             return tuple(outs)
         return outs[0], outs[1], None, None
+    elif use_pallas and dropout_rng is None:
+        # NSP_FUSE_HEAD=0 A/B path: center-only Pallas encoder + XLA head
+        # (the r3 layout)
+        from ..ops.pallas_lstm import bilstm_encoder_pallas
+
+        ctr = bilstm_encoder_pallas(params["encoder"], x, center_only=True,
+                                    interpret=pallas_interpret)  # [N, 2H]
     else:
         # training path: the per-layer Pallas recurrence is differentiable
         # (custom VJP), dropout stays in XLA between layers
