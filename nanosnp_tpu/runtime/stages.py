@@ -658,6 +658,11 @@ def run_pileup_columnar(cfg: PipelineConfig, params, shard) -> Tuple:
     flank = shard.flank
     cand_off = shard.cand_off
     n = len(cand_off)
+    # (r4 measured negative: widening the batch 8x for chromosome-scale
+    # shards to cut dispatch round-trips made the 100 Mbp s2 SLOWER here
+    # — the extra batch shape costs a fresh ~2 min relay compile, more
+    # than the ~60 s of RTTs it saves. On non-tunneled hardware both
+    # effects are microseconds; keep the single prewarmed shape.)
     unit_cap = _COL_BUCKETS[-1]
     gts: List[np.ndarray] = []
     zys: List[np.ndarray] = []
