@@ -12,7 +12,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 ASAN_SO="$(g++ -print-file-name=libasan.so)"
-export LD_PRELOAD="$ASAN_SO"
+# libstdc++ must be preloaded WITH asan: jaxlib's nanobind throws C++
+# exceptions during jit lowering, and if libstdc++ resolves after the
+# sanitizer runtime, ASan's __cxa_throw interceptor finds no real
+# __cxa_throw and CHECK-fails ("real___cxa_throw != 0",
+# asan_interceptors.cpp:320) — killing any test that jits in-process.
+export LD_PRELOAD="$ASAN_SO $(g++ -print-file-name=libstdc++.so.6)"
 export NSP_NATIVE_ASAN=1
 export ASAN_OPTIONS="detect_leaks=1:abort_on_error=0"
 export LSAN_OPTIONS="suppressions=$PWD/nanosnp_tpu/io/native/lsan.supp:print_suppressions=0"

@@ -51,6 +51,27 @@ def test_batched_predictor_sharded_8dev():
     assert pred.run(np.zeros((0, 3, 4), np.float32)) == []
 
 
+def test_batched_predictor_fetch_strides_identical():
+    """Device-side fetch batching (r4) must not change results for any
+    stride or tail geometry: exact-multiple N, ragged tail, N smaller
+    than one stride group, stride 1 (the r3 behavior)."""
+
+    def fn(params, x):
+        return (x * 3.0).sum(axis=1), x[:, 0] - 1.0
+
+    pred = BatchedPredictor(fn, None, batch_size=8,
+                            mesh=make_mesh())
+    rng = np.random.default_rng(5)
+    for n in (64, 61, 8, 7, 3, 23):
+        x = rng.standard_normal((n, 5)).astype(np.float32)
+        want_a, want_b = (x * 3.0).sum(axis=1), x[:, 0] - 1.0
+        for stride in (1, 2, 8, 100):
+            a, b = pred.run(x, fetch_stride=stride)
+            np.testing.assert_allclose(a, want_a, rtol=1e-5,
+                                       err_msg=f"n={n} stride={stride}")
+            np.testing.assert_allclose(b, want_b, rtol=1e-5)
+
+
 def test_shard_verifiers(tmp_path):
     from nanosnp_tpu.io import bins
     from nanosnp_tpu.io.verify import verify_haplotype_shard, verify_pileup_shard
