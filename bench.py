@@ -736,6 +736,20 @@ def main():
             }
         except Exception:
             pass
+    ev = os.path.join(REPO, "docs", "evidence", "soak_r4.json")
+    if os.path.exists(ev):
+        try:
+            rec = json.load(open(ev))
+            extra["soak_250mbp"] = {
+                "s_per_mbp": rec.get("s_per_mbp"),
+                "extrapolated_3gbp_30x_hours": rec.get(
+                    "extrapolated_3gbp_30x_hours"),
+                "rss_mb": rec.get("rss_mb"),
+                "nsi": rec.get("nsi"),
+                "merge_f1": rec.get("f1", {}).get("merge", {}).get("f1"),
+            }
+        except Exception:
+            pass
     try:
         base = bench_torch_cpu()
     except Exception:

@@ -419,14 +419,24 @@ def stage_haplotype_features(
     writer = ThreadPoolExecutor(max_workers=1)
     write_futures = []
 
-    def write_contig(ctg, pools):
+    def write_contig(ctg, pools, part):
         n = 0
         for (dpb, dhb), shards in pools.items():
             merged = _concat_haplotype_shards(ctg, shards, dpb, dhb)
+            suffix = "" if part == 0 else f"_p{part}"
             bins.save_haplotype_shard(
-                os.path.join(out_dir, f"{ctg}_d{dpb}x{dhb}.npz"), merged)
+                os.path.join(out_dir, f"{ctg}_d{dpb}x{dhb}{suffix}.npz"),
+                merged)
             n += 1
         return n
+
+    # Cap the groups accumulated in RAM before a flush: the 250 Mbp soak
+    # (1.17M groups on one contig) peaked at ~41 GB RSS because a whole
+    # contig's chunk shards sat in the pools until the single per-contig
+    # write. Mid-contig flushes bound s4's working set AND s5's per-file
+    # load; s5 batches within each file, so 256k-group files keep its
+    # batches full.
+    flush_groups = int(os.environ.get("NSP_S4_FLUSH_GROUPS", 262144))
 
     for ctg in sorted(sites, key=C.contig_sort_key):
         groups = build_groups(sites[ctg], hf.adjacent_size,
@@ -462,6 +472,8 @@ def stage_haplotype_features(
             return _pack_haplotype_shard(ctg, mats.get("groups", chunk),
                                          mats, hf)
 
+        part = 0
+        pool_groups = 0
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
             for shard in ex.map(extract_one, chunks):
                 if shard is None:
@@ -472,7 +484,17 @@ def stage_haplotype_features(
                     _maybe_prewarm_featurizer(cfg, key)
                 pools.setdefault(key, []).append(shard)
                 n_groups += len(shard)
-        write_futures.append(writer.submit(write_contig, ctg, pools))
+                pool_groups += len(shard)
+                if pool_groups >= flush_groups:
+                    write_futures.append(
+                        writer.submit(write_contig, ctg, pools, part))
+                    pools = {}
+                    pool_groups = 0
+                    part += 1
+        if pools:
+            write_futures.append(writer.submit(write_contig, ctg, pools,
+                                               part))
+            pools = {}
     n_shards = sum(f.result() for f in write_futures)
     writer.shutdown()
     return {"groups": n_groups, "shards": n_shards}

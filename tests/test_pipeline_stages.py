@@ -157,6 +157,58 @@ def test_full_native_pipeline_end_to_end(synth_world, tmp_path):
         assert os.path.getsize(out / "haplotype.csv") > 0
 
 
+def test_s4_flush_cap_splits_shards_identically(synth_world, tmp_path,
+                                                monkeypatch):
+    """NSP_S4_FLUSH_GROUPS bounds s4's in-RAM pool (the 250 Mbp soak
+    peaked ~41 GB holding a whole contig before one write). A tiny cap
+    must produce multiple part files whose concatenated content equals
+    the single-shard run's."""
+    import jax.numpy as jnp
+
+    from nanosnp_tpu.models.convert import load_pileup_checkpoint
+
+    cfg = PipelineConfig()
+    cfg.inference.batch_size = 512
+    cfg.haplotype_feature.hete_support_quality = 2
+    cfg.haplotype_feature.low_quality_threshold = 25
+    ref = FastaReference(synth_world["fasta"])
+    out = tmp_path / "runf"
+    out.mkdir()
+    shards = out / "pileup_shards"
+    stages.stage_pileup_features_from_bam(cfg, ref, synth_world["bam"],
+                                          str(shards), ["chrW"])
+    params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(
+        "/root/reference/PileupModel/models/ont_pileup.chkpt"))
+    stages.stage_pileup_predict(cfg, ref, str(shards),
+                                str(out / "pileup.vcf"), params=params)
+
+    def run_s4(dirname):
+        extractor = NativeBamExtractor({"chrW": synth_world["bam"]})
+        m = stages.stage_haplotype_features(
+            cfg, ref, str(out / "pileup.vcf"), extractor, str(out / dirname))
+        extractor.close()
+        return m
+
+    m_one = run_s4("hap_one")
+    if m_one["groups"] < 4:
+        return  # not enough groups to exercise the split on this world
+    monkeypatch.setenv("NSP_S4_FLUSH_GROUPS", "2")
+    m_split = run_s4("hap_split")
+    assert m_split["groups"] == m_one["groups"]
+    assert m_split["shards"] > m_one["shards"]
+
+    def collect(d):
+        rows = {}
+        for p in bins.list_shards(str(out / d)):
+            s = bins.load_haplotype_shard(p)
+            for i, pos in enumerate(s.candidate_positions):
+                rows[int(pos)] = (s.pileup["sequences"][i].tobytes(),
+                                  s.haplotype["sequences"][i].tobytes())
+        return rows
+
+    assert collect("hap_split") == collect("hap_one")
+
+
 def test_runner_resume(tmp_path):
     calls = []
 
