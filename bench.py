@@ -293,6 +293,32 @@ def bench_s1_native():
         curve = {str(nt): round(med([parse_only(nt) for _ in range(5)]), 1)
                  for nt in (1, 2, 4)}
 
+        # production s1 path (direct BAM engine) stage-level thread curve
+        bam_curve = {}
+        try:
+            sys.path.insert(0, os.path.join(REPO, "scripts"))
+            from make_world import make_world
+            from nanosnp_tpu.config import PipelineConfig
+            from nanosnp_tpu.runtime import stages
+
+            wdir = os.path.join(tmp, "bamworld")
+            res = make_world(wdir, {"chrB2": 1_500_000}, coverage=30,
+                             read_len=3000, seed=13)
+            bref = FastaReference(res["fasta"])
+            cfgp = PipelineConfig()
+            for nt in (1, 2, 4):
+                cfgp.threads = nt
+                ts = []
+                for rep in range(3):
+                    sd = os.path.join(tmp, f"bs_{nt}_{rep}")
+                    t0 = time.perf_counter()
+                    m = stages.stage_pileup_features_from_bam(
+                        cfgp, bref, res["bam"], sd, ["chrB2"])
+                    ts.append(m["rows"] / (time.perf_counter() - t0))
+                bam_curve[str(nt)] = round(med(ts), 1)
+        except Exception as e:
+            bam_curve = {"error": str(e)[:200]}
+
         out = {"rows_per_s_1thread": round(rows_1t, 1),
                "rows_per_s_1thread_spread": {
                    "min": round(min(r[0] for r in runs_1t), 1),
@@ -304,6 +330,7 @@ def bench_s1_native():
                    "max": round(max(r[0] for r in runs_mt), 1), "n": 5},
                "parse_only_rows_per_s_by_threads": curve,
                "parse_scaling_4t": round(curve["4"] / curve["1"], 2),
+               "bam_stage_rows_per_s_by_threads": bam_curve,
                "n_rows": len(lines), "n_candidates": n_cand}
         if os.path.exists(REF_BIN):
             odir = os.path.join(tmp, "tensor_out")
