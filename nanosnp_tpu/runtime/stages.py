@@ -410,6 +410,12 @@ def stage_haplotype_features(
     from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(out_dir, exist_ok=True)
+    # clear leftovers from a crashed/partial previous run: shard part
+    # counts depend on the flush cap, so stale higher-numbered part files
+    # would otherwise survive a rerun and feed s5 duplicate groups
+    for old in os.listdir(out_dir):
+        if old.endswith(".npz"):
+            os.unlink(os.path.join(out_dir, old))
     hf = cfg.haplotype_feature
     with open(pileup_vcf) as f:
         sites = collect_sites(f, hf.low_quality_threshold)
