@@ -718,13 +718,45 @@ def _probe_backend(timeout_s: float = 180.0) -> str:
     return "cpu-fallback (device backend hung or failed probe)"
 
 
+def _run_sub(name: str, timeout_s: float, retries: int = 1):
+    """Run one device bench in a subprocess with a hard timeout.
+
+    The relay tunnel can wedge MID-benchmark (a compile or buffer future
+    that never completes, after a healthy probe — observed repeatedly in
+    r4); in-process there is no way to interrupt a blocked jax call, so a
+    wedge would eat the whole bench run. Subprocess isolation turns a
+    wedge into one lost metric + a retry."""
+    for attempt in range(retries + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--sub", name],
+                capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
+            if r.returncode == 0 and r.stdout.strip():
+                return json.loads(r.stdout.strip().splitlines()[-1])
+            err = (r.stderr or "")[-300:]
+        except subprocess.TimeoutExpired:
+            err = f"wedged (> {timeout_s}s), attempt {attempt + 1}"
+        except Exception as e:  # pragma: no cover - defensive
+            err = str(e)[:300]
+    return {"error": err}
+
+
 def main():
     extra = {"platform": _probe_backend()}
-    pile = bench_pileup_model()
+    on_cpu = extra["platform"].startswith("cpu")
+    if on_cpu:
+        # no tunnel in the loop: run in-process (fast, nothing to wedge)
+        pile = bench_pileup_model()
+        extra["haplotype"] = bench_haplotype_model()
+    else:
+        pile = _run_sub("pileup", 1500)
+        extra["haplotype"] = _run_sub("haplotype", 1500)
+    if "error" in pile:
+        sys.stderr.write(f"pileup bench subprocess failed: {pile}\n")
+        pile = {"sites_per_s": 0.0, **pile}
     extra["pileup"] = pile
     extra["pileup"]["baseline"] = ("reference torch model on this host's CPU"
                                    " (no GPU/reference numbers available)")
-    extra["haplotype"] = bench_haplotype_model()
     try:
         extra["s1"] = bench_s1_native()
     except Exception as e:
@@ -737,7 +769,8 @@ def main():
         # opt-in: the conv+BN+scan graph takes >10 min of remote compile
         # through the relay service on first run (secondary model family)
         try:
-            extra["catmodel"] = bench_catmodel()
+            extra["catmodel"] = (bench_catmodel() if on_cpu
+                                 else _run_sub("catmodel", 1800))
         except Exception as e:
             extra["catmodel"] = {"error": str(e)[:300]}
     if os.environ.get("NSP_BENCH_SCALING", "1") != "0":
@@ -795,5 +828,10 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--device-scaling-worker":
         _device_scaling_worker(int(sys.argv[2]))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--sub":
+        fn = {"pileup": bench_pileup_model,
+              "haplotype": bench_haplotype_model,
+              "catmodel": bench_catmodel}[sys.argv[2]]
+        print(json.dumps(fn()))
     else:
         main()
