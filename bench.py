@@ -405,24 +405,20 @@ def bench_scaling_2proc():
     t(1 host, cores 0-1) / (2 * t(2 hosts, 2 cores each))."""
     if shutil.which("taskset") is None or (os.cpu_count() or 0) < 4:
         return {"skipped": "needs taskset + >=4 cores"}
-    from bamgen import random_reads, write_bam
-    from synth import random_genome
-    from nanosnp_tpu.io.fasta import write_fasta
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_world import make_world
 
-    rng = np.random.default_rng(77)
-    sizes = {f"chr{i}": 60_000 for i in range(1, 5)}
+    # 4 x 2 Mbp contigs (r4): the old 4 x 60 kb world measured mostly
+    # per-process fixed costs (model load, compile-cache read), making the
+    # efficiency number fixed-cost-dominated and noisy. At 8 Mbp the
+    # stages dominate and the ratio reflects real contig-parallel scaling.
+    sizes = {f"chr{i}": 2_000_000 for i in range(1, 5)}
     tmp = tempfile.mkdtemp(prefix="nsp_bench_scale_")
     try:
-        genome = random_genome(rng, sizes)
-        fasta = os.path.join(tmp, "ref.fa")
-        write_fasta(fasta, genome)
-        all_reads = []
-        for i, (name, seq) in enumerate(genome.items()):
-            all_reads += random_reads(rng, seq, i, n_reads=len(seq) * 10 // 200,
-                                      read_len=200, with_hp=True,
-                                      mq_range=(10, 60))
-        bam = os.path.join(tmp, "s.bam")
-        write_bam(bam, [(n, len(s)) for n, s in genome.items()], all_reads)
+        res = make_world(tmp, sizes, coverage=20, read_len=3000, seed=77,
+                         tag_rate=0.85)
+        fasta = res["fasta"]
+        bam = res["bam"]
 
         code = ("import jax; jax.config.update('jax_platforms','cpu'); "
                 "import sys; from nanosnp_tpu.runtime.cli import main; "
