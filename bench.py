@@ -41,6 +41,14 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import numpy as np
 
+def _median(vals):
+    """One median for every variance-bar site in this file (sorted copy)."""
+    vals = sorted(vals)
+    k = len(vals)
+    return vals[k // 2] if k % 2 else 0.5 * (vals[k // 2 - 1]
+                                             + vals[k // 2])
+
+
 BATCH = 16384
 HAP_BATCH = 2048
 HAP_DEPTH = 96
@@ -113,9 +121,7 @@ def _chained_rate(many, params, x_args, batch, iters=ITERS, repeats=5):
     for _ in range(repeats):
         tk = once(iters + 1)
         rates.append(batch / max((tk - t1) / iters, 1e-9))
-    rates.sort()
-    med = rates[len(rates) // 2] if len(rates) % 2 else (
-        0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]))
+    med = _median(rates)
     spread = {"min": round(min(rates), 1), "max": round(max(rates), 1),
               "n": repeats}
     return med, spread
@@ -263,11 +269,7 @@ def bench_s1_native():
             dt = time.perf_counter() - t0
             return len(pile.positions) / dt, len(batch) / dt, len(batch)
 
-        def med(vals):
-            vals = sorted(vals)
-            k = len(vals)
-            return vals[k // 2] if k % 2 else 0.5 * (vals[k // 2 - 1]
-                                                     + vals[k // 2])
+        med = _median
 
         ours(1)  # warm page cache / native lib
         runs_1t = [ours(1) for _ in range(5)]
@@ -384,11 +386,10 @@ def bench_phaser():
                 t0 = time.perf_counter()
                 res = phase_contig(bf, "chrP", pos, refs, alts)
                 ts.append(time.perf_counter() - t0)
-        ts.sort()
         return {
-            "s_per_mbp_warm_1thread": round(ts[2] / (L / 1e6), 3),
-            "s_per_mbp_spread": [round(ts[0] / (L / 1e6), 3),
-                                 round(ts[-1] / (L / 1e6), 3)],
+            "s_per_mbp_warm_1thread": round(_median(ts) / (L / 1e6), 3),
+            "s_per_mbp_spread": [round(min(ts) / (L / 1e6), 3),
+                                 round(max(ts) / (L / 1e6), 3)],
             "het_sites": len(pos),
             "phased_sites": int((res.hap_of_alt != 0).sum()),
             "tagged_reads": len(res.read_hp),
@@ -485,9 +486,7 @@ def bench_scaling_2proc():
         run_dual("warm2")     # ...and the multi-host config's cache entries
         t1s = [run_single(f"single{i}") for i in range(3)]
         t2s = [run_dual(f"dual{i}") for i in range(3)]
-        t1s.sort()
-        t2s.sort()
-        t1, t2 = t1s[1], t2s[1]   # medians; spreads reported below
+        t1, t2 = _median(t1s), _median(t2s)   # spreads reported below
         single_rate = s2_rate(os.path.join(tmp, "single0"))
         dual_rates = [s2_rate(os.path.join(tmp, "dual0", f"host{h}"))
                       for h in range(2)]
@@ -498,13 +497,13 @@ def bench_scaling_2proc():
         # inference throughput ratio — the number DCN-scaled TPU hosts
         # would see.
         return {"t_1host_2cores_s": round(t1, 2),
-                "t_1host_spread": [round(t1s[0], 2), round(t1s[-1], 2)],
+                "t_1host_spread": [round(min(t1s), 2), round(max(t1s), 2)],
                 "t_2hosts_2cores_each_s": round(t2, 2),
-                "t_2hosts_spread": [round(t2s[0], 2), round(t2s[-1], 2)],
+                "t_2hosts_spread": [round(min(t2s), 2), round(max(t2s), 2)],
                 "speedup": round(t1 / t2, 3),
                 "efficiency": round(t1 / (2 * t2), 3),
-                "efficiency_range": [round(t1s[0] / (2 * t2s[-1]), 3),
-                                     round(t1s[-1] / (2 * t2s[0]), 3)],
+                "efficiency_range": [round(min(t1s) / (2 * max(t2s)), 3),
+                                     round(max(t1s) / (2 * min(t2s)), 3)],
                 "s2_device_stage_efficiency": round(
                     sum(dual_rates) / (2 * single_rate), 3)
                     if single_rate else None}

@@ -79,7 +79,8 @@ def get_lib() -> ctypes.CDLL:
             _build(lib_path)
         lib = ctypes.CDLL(lib_path)
         lib.nsp_count_rows.restype = ctypes.c_int64
-        lib.nsp_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.nsp_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                       ctypes.c_int]
         lib.nsp_parse_mpileup.restype = ctypes.c_int64
         lib.nsp_parse_mpileup.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,          # buf
@@ -119,7 +120,7 @@ def parse_mpileup_native(
     from ..features.pileup import ChromPileup
 
     lib = get_lib()
-    n = lib.nsp_count_rows(text, len(text))
+    n = lib.nsp_count_rows(text, len(text), n_threads)
     # np.empty, not zeros: the kernel writes every kept row and the caller
     # slices to [:m]; zeroing ~70 MB/Mrow of outputs was measurable serial
     # wall on the s1 critical path

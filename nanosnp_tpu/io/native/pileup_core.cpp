@@ -231,11 +231,12 @@ static void chunk_starts(const char* buf, int64_t len, int n_chunks,
   }
 }
 
-int64_t nsp_count_rows(const char* buf, int64_t len) {
+int64_t nsp_count_rows(const char* buf, int64_t len, int n_threads) {
 #ifdef _OPENMP
-  const int nt = omp_get_num_procs();
+  const int nt = n_threads > 0 ? n_threads : omp_get_num_procs();
 #else
   const int nt = 1;
+  (void)n_threads;
 #endif
   std::vector<const char*> starts;
   chunk_starts(buf, len, nt, starts);

@@ -492,6 +492,11 @@ def stage_haplotype_features(
                 n_groups += len(shard)
                 pool_groups += len(shard)
                 if pool_groups >= flush_groups:
+                    # backpressure: each queued flush pins a full pool in
+                    # RAM, so an unbounded writer backlog would defeat the
+                    # cap — block extraction once >2 flushes are pending
+                    while sum(not f.done() for f in write_futures) > 2:
+                        write_futures[-2].result()
                     write_futures.append(
                         writer.submit(write_contig, ctg, pools, part))
                     pools = {}

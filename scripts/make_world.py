@@ -153,6 +153,16 @@ def write_reads_bam(rng, path: str, contigs: Dict[str, np.ndarray],
                     max_indel: int = 6, batch: int = 16384,
                     tag_rate: float = 0.0) -> int:
     """Returns the number of reads written."""
+    if read_len % 2:
+        raise ValueError(f"read_len must be even (nibble-packed seq), "
+                         f"got {read_len}")
+    span_req = read_len + max_indel
+    for n, s in contigs.items():
+        if len(s) <= span_req:
+            raise ValueError(
+                f"contig {n!r} ({len(s)} bp) must exceed "
+                f"read_len+max_indel={span_req} — shorten --read-len or "
+                f"grow the contig")
     refs = [(n, len(s)) for n, s in contigs.items()]
     total = 0
     with open(path, "wb") as f:

@@ -39,6 +39,13 @@ def main(train_dir, ab_dir=None):
         trainer_f1 = json.load(f)
 
     ab_json = os.path.join(ab_dir, "defer_ab.json")
+    # stale-guard: an A/B left behind by an EARLIER candidate (same
+    # train_dir, retrained npz) must not gate this one
+    if (os.path.exists(ab_json)
+            and os.path.getmtime(ab_json) < os.path.getmtime(cand)):
+        print("[ship] defer_ab.json predates the candidate npz — rerunning",
+              flush=True)
+        os.remove(ab_json)
     if not os.path.exists(ab_json):
         print(f"[ship] running defer A/B -> {ab_dir}", flush=True)
         subprocess.run(

@@ -132,8 +132,9 @@ def main(argv=None) -> int:
     BamFile(bam).close()
     t_warm = time.time() - t0
     nsi_mb = os.path.getsize(nsi) / 1e6 if os.path.exists(nsi) else None
+    nsi_txt = f"{nsi_mb:.1f} MB" if nsi_mb is not None else "absent"
     print(f"[nsi] cold open {t_cold:.1f}s, warm reopen {t_warm:.2f}s, "
-          f"sidecar {nsi_mb:.1f} MB", flush=True)
+          f"sidecar {nsi_txt}", flush=True)
 
     out_dir = os.path.join(args.world, f"out_{args.platform}")
     wall, samples = run_soak(args.world, out_dir, args.platform,
