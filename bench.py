@@ -295,7 +295,11 @@ def bench_s1_native():
         curve = {str(nt): round(med([parse_only(nt) for _ in range(5)]), 1)
                  for nt in (1, 2, 4)}
 
-        # production s1 path (direct BAM engine) stage-level thread curve
+        # production s1 path (direct BAM engine) stage-level thread curve.
+        # r4's world was ONE 1.5 Mbp contig against the stage's 2 Mbp
+        # chunk size, so the ThreadPoolExecutor ever received ONE task and
+        # the curve measured a serial path three times (VERDICT r4 weak
+        # #2). 16 Mbp -> 8 chunks = two full waves for a 4-thread pool.
         bam_curve = {}
         try:
             sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -304,7 +308,7 @@ def bench_s1_native():
             from nanosnp_tpu.runtime import stages
 
             wdir = os.path.join(tmp, "bamworld")
-            res = make_world(wdir, {"chrB2": 1_500_000}, coverage=30,
+            res = make_world(wdir, {"chrB2": 16_000_000}, coverage=30,
                              read_len=3000, seed=13)
             bref = FastaReference(res["fasta"])
             cfgp = PipelineConfig()
@@ -318,6 +322,8 @@ def bench_s1_native():
                         cfgp, bref, res["bam"], sd, ["chrB2"])
                     ts.append(m["rows"] / (time.perf_counter() - t0))
                 bam_curve[str(nt)] = round(med(ts), 1)
+            bam_curve["scaling_4t"] = round(bam_curve["4"] / bam_curve["1"],
+                                           2)
         except Exception as e:
             bam_curve = {"error": str(e)[:200]}
 
@@ -438,10 +444,14 @@ def bench_scaling_2proc():
                 e.pop(k, None)
             return e
 
-        def stage_seconds(out_dir):
+        def stage_map(out_dir):
             d = os.path.join(out_dir, ".stages")
-            return sum(json.load(open(os.path.join(d, f)))["seconds"]
-                       for f in os.listdir(d))
+            return {f.split(".")[0]: json.load(
+                        open(os.path.join(d, f)))["seconds"]
+                    for f in os.listdir(d)}
+
+        def stage_seconds(out_dir):
+            return sum(stage_map(out_dir).values())
 
         def s2_rate(out_dir):
             p = os.path.join(out_dir, ".stages", "s2_pileup_predict.done")
@@ -484,9 +494,27 @@ def bench_scaling_2proc():
 
         run_single("warm1")   # populate the compile cache (single config)
         run_dual("warm2")     # ...and the multi-host config's cache entries
-        t1s = [run_single(f"single{i}") for i in range(3)]
-        t2s = [run_dual(f"dual{i}") for i in range(3)]
+        # n>=7 reps (VERDICT r4 weak #3: the 0.708-0.925 spread of n=3
+        # spanned the 0.80 bar); configurable for quick local runs
+        reps = int(os.environ.get("NSP_BENCH_SCALING_REPS", "7"))
+        t1s = [run_single(f"single{i}") for i in range(reps)]
+        t2s = [run_dual(f"dual{i}") for i in range(reps)]
         t1, t2 = _median(t1s), _median(t2s)   # spreads reported below
+        # per-stage medians of both configs: the root-cause view (which
+        # stage eats the lost efficiency). Dual reports the max over hosts
+        # per stage (the job-bounding host).
+        stages_1 = [stage_map(os.path.join(tmp, f"single{i}"))
+                    for i in range(reps)]
+        stages_2 = []
+        for i in range(reps):
+            per_host = [stage_map(os.path.join(tmp, f"dual{i}", f"host{h}"))
+                        for h in range(2)]
+            stages_2.append({k: max(d.get(k, 0.0) for d in per_host)
+                             for k in per_host[0]})
+        stage_split = {
+            cfg_name: {k: round(_median([m.get(k, 0.0) for m in ms]), 2)
+                       for k in ms[0]}
+            for cfg_name, ms in (("single", stages_1), ("dual", stages_2))}
         single_rate = s2_rate(os.path.join(tmp, "single0"))
         dual_rates = [s2_rate(os.path.join(tmp, "dual0", f"host{h}"))
                       for h in range(2)]
@@ -500,10 +528,12 @@ def bench_scaling_2proc():
                 "t_1host_spread": [round(min(t1s), 2), round(max(t1s), 2)],
                 "t_2hosts_2cores_each_s": round(t2, 2),
                 "t_2hosts_spread": [round(min(t2s), 2), round(max(t2s), 2)],
+                "reps": reps,
                 "speedup": round(t1 / t2, 3),
                 "efficiency": round(t1 / (2 * t2), 3),
                 "efficiency_range": [round(min(t1s) / (2 * max(t2s)), 3),
                                      round(max(t1s) / (2 * min(t2s)), 3)],
+                "stage_split_s": stage_split,
                 "s2_device_stage_efficiency": round(
                     sum(dual_rates) / (2 * single_rate), 3)
                     if single_rate else None}
@@ -817,7 +847,49 @@ def main():
         "vs_baseline": round(tpu / base, 2) if base else None,
         "extra": extra,
     }
-    print(json.dumps(result))
+    # capture-proofing (VERDICT r4 weak #6): the driver records only the
+    # output TAIL, and r4's spread-annotated single line outgrew it — the
+    # headline sites/s+MFU numbers fell off the artifact. Ship the bulky
+    # extras to a file and keep stdout to ONE COMPACT line that always
+    # carries the story.
+    full_path = os.path.join(REPO, "docs", "evidence", "bench_full.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except Exception as e:  # pragma: no cover - read-only checkout
+        sys.stderr.write(f"bench_full.json write failed: {e}\n")
+        full_path = None
+
+    def pick(d, *keys):
+        d = d or {}
+        return {k: d.get(k) for k in keys if d.get(k) is not None}
+
+    hap = extra.get("haplotype") or {}
+    s1 = extra.get("s1") or {}
+    sc = extra.get("scaling") or {}
+    compact = {
+        "metric": result["metric"],
+        "value": tpu,
+        "unit": "sites/s",
+        "vs_baseline": result["vs_baseline"],
+        "extra": {
+            "platform": extra.get("platform"),
+            "pileup": pick(pile, "sites_per_s", "mfu_pct",
+                           "sites_per_s_spread"),
+            "haplotype": pick(hap, "sites_per_s", "mfu_pct",
+                              "sites_per_s_spread"),
+            "s1_rows_per_s_1thread": s1.get("rows_per_s_1thread"),
+            "s1_bam_stage_threads": s1.get(
+                "bam_stage_rows_per_s_by_threads"),
+            "phaser_s_per_mbp": (extra.get("phaser") or {}).get(
+                "s_per_mbp_warm_1thread"),
+            "scaling_2host": pick(sc, "efficiency", "efficiency_range",
+                                  "reps"),
+            "full": full_path,
+        },
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -27,10 +27,14 @@ from typing import Any, Dict, Optional
 from ..config import OptimConfig, TrainConfig
 
 # reference optim.py dispatches on these exact strings (HaplotypeModel/
-# optim.py Optimizer.__init__); ours are lowercase snake in train/optim.py
+# optim.py Optimizer.__init__); ours are lowercase snake in train/optim.py.
+# NOTE: the archive is HaplotypeModel-scoped, and that optim.py routes
+# type 'Ranger' to the Ranger21 class (HaplotypeModel/optim.py:104-105 —
+# warmup/warmdown schedule, AGC, norm-loss), NOT the PileupModel-era
+# lessw2020 Ranger (GC+RAdam+Lookahead). Map it accordingly.
 _OPTIM_NAMES = {
     "lookaheadadam": "lookahead_adam",
-    "ranger": "ranger",
+    "ranger": "ranger21",
     "ranger21": "ranger21",
     "adam": "adam",
     "sgd": "sgd",

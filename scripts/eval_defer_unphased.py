@@ -67,11 +67,18 @@ def main(out_dir="./defer_ab", frac=0.01, weights=None):
     cfg.haplotype_feature.hete_support_quality = 5
     pileup_params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(
         "/root/reference/PileupModel/models/ont_pileup.chkpt"))
-    hap_params = load_params_npz(weights or os.path.join(
+    weights_path = weights or os.path.join(
         REPO, "nanosnp_tpu", "models", "weights",
-        "ont_haplotype_synthetic.npz"))
+        "ont_haplotype_synthetic.npz")
+    hap_params = load_params_npz(weights_path)
 
-    results = {"frac": frac}
+    # record WHICH weights produced this A/B so downstream gates can
+    # verify the artifact belongs to their candidate (not just mtimes)
+    import hashlib
+    with open(weights_path, "rb") as f:
+        weights_sha = hashlib.sha256(f.read()).hexdigest()
+    results = {"frac": frac, "weights_path": os.path.abspath(weights_path),
+               "weights_sha256": weights_sha}
     for name, L, spacing, cov, read_len, err in WORLDS:
         seq = genome[name]
         truth, h1, h2 = make_diploid(rng, seq, n_het=L // (spacing * 2),

@@ -38,14 +38,22 @@ def main(train_dir, ab_dir=None):
     with open(f1_path) as f:
         trainer_f1 = json.load(f)
 
+    import hashlib
+    with open(cand, "rb") as f:
+        cand_sha = hashlib.sha256(f.read()).hexdigest()
+
     ab_json = os.path.join(ab_dir, "defer_ab.json")
-    # stale-guard: an A/B left behind by an EARLIER candidate (same
-    # train_dir, retrained npz) must not gate this one
-    if (os.path.exists(ab_json)
-            and os.path.getmtime(ab_json) < os.path.getmtime(cand)):
-        print("[ship] defer_ab.json predates the candidate npz — rerunning",
-              flush=True)
-        os.remove(ab_json)
+    # stale-guard: an A/B produced from ANY other weights (earlier
+    # candidate, or a user-passed ab_dir from a different run) must not
+    # gate this one — match by content hash, not mtimes
+    if os.path.exists(ab_json):
+        with open(ab_json) as f:
+            prev = json.load(f)
+        if prev.get("weights_sha256") != cand_sha:
+            print("[ship] defer_ab.json was produced by different weights "
+                  f"(sha {str(prev.get('weights_sha256'))[:12]}... vs "
+                  f"candidate {cand_sha[:12]}...) — rerunning", flush=True)
+            os.remove(ab_json)
     if not os.path.exists(ab_json):
         print(f"[ship] running defer A/B -> {ab_dir}", flush=True)
         subprocess.run(
@@ -55,6 +63,9 @@ def main(train_dir, ab_dir=None):
             check=True, cwd=REPO)
     with open(ab_json) as f:
         v6 = json.load(f)
+    if v6.get("weights_sha256") != cand_sha:
+        sys.exit(f"[ship] A/B weights hash mismatch after rerun: "
+                 f"{v6.get('weights_sha256')} != {cand_sha}")
     with open(os.path.join(REPO, "docs", "evidence",
                            "defer_ab_v5_r4.json")) as f:
         v5 = json.load(f)
@@ -103,7 +114,7 @@ def main(train_dir, ab_dir=None):
                 "pileup_f1": [v5[w]["pileup"]["f1"], v6[w]["pileup"]["f1"]]}
             for w in ("sparse", "mid", "dense")},
     }
-    ev = os.path.join(REPO, "docs", "evidence", "defer_ab_v6_r4.json")
+    ev = os.path.join(REPO, "docs", "evidence", "defer_ab_v6_r5.json")
     with open(ev, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[ship] v6 PROMOTED -> {shipped}\n[ship] evidence -> {ev}",

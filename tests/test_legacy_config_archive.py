@@ -27,16 +27,16 @@ def test_all_archives_parse():
         fams[cfg.family] += 1
         assert cfg.configname
         assert cfg.data, p
-        assert cfg.train.optim.type in ("ranger", "lookahead_adam",
-                                        "ranger21", "adam", "sgd",
-                                        "adadelta")
+        # archive 'Ranger' must come out as ranger21 (never the
+        # PileupModel-era 'ranger' flavor)
+        assert cfg.train.optim.type in ("lookahead_adam", "ranger21",
+                                        "adam", "sgd", "adadelta")
     # the archive holds both dead generations
     assert fams["cat"] >= 6 and fams["edge"] >= 5
 
 
 def test_cat_family_mapping_builds_model_and_optimizer():
     import jax
-    import numpy as np
 
     from nanosnp_tpu.legacy.catmodel import init_catmodel_params
     from nanosnp_tpu.train.optim import build_optimizer
@@ -46,7 +46,8 @@ def test_cat_family_mapping_builds_model_and_optimizer():
     assert cfg.use_g == {"use_g0": False, "use_g1": True,
                          "use_g2": False, "use_g3": False}
     assert cfg.pileup_length == 11 and cfg.gt_classes == 10
-    assert cfg.train.optim.type == "ranger"
+    # archive 'Ranger' means HaplotypeModel/optim.py:104's Ranger21 class
+    assert cfg.train.optim.type == "ranger21"
     assert cfg.train.optim.lr == pytest.approx(1e-5)
     assert cfg.train.optim.max_grad_norm == 2.0   # lives under training:
     assert cfg.train.first_stage is None          # -1 -> disabled
@@ -61,7 +62,6 @@ def test_cat_family_mapping_builds_model_and_optimizer():
     state = tx.init(wrapped)
     assert state is not None
     assert "optim.momentum" in cfg.ignored
-    del np
 
 
 def test_edge_family_geometry_and_gt15_variant():
