@@ -46,6 +46,10 @@
 
 #include <zlib.h>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #include "pileup_common.hpp"
 
 namespace {
@@ -722,6 +726,164 @@ std::vector<uint8_t> strip_hp_aux(const uint8_t* aux, size_t len) {
 
 extern "C" {
 
+// ---- parallel cold-open scan (r5) -----------------------------------
+// The original cold open inflated the whole file on ONE thread (the
+// streaming loop below, kept as the fallback): ~20-25 s of the 100 Mbp
+// world's s1 wall was this serial scan. BGZF members carry their own
+// compressed size (BC extra subfield) and per-member ISIZE, so the block
+// table can be built by hopping headers WITHOUT inflating; record parsing
+// then proceeds in bounded batches whose member inflates run in parallel.
+// Produces bit-identical blocks/index/total_inflated (and therefore a
+// bit-identical .nsi sidecar) to the serial path.
+
+// Serial header walk: fills b->blocks/total_inflated without inflating.
+// Returns false (caller must reset + fall back) on any non-BGZF member.
+static bool build_block_table_bgzf(OpenBam* b) {
+  struct stat st;
+  if (fstat(b->fd, &st) != 0) return false;
+  const uint64_t fsize = (uint64_t)st.st_size;
+  uint64_t file_off = 0, infl_off = 0;
+  uint8_t hdr[12], extra[256], isz[4];
+  while (file_off + 12 <= fsize) {
+    if (pread(b->fd, hdr, 12, (off_t)file_off) != 12) return false;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) {
+      if (infl_off == 0) return false;  // not gzip at all
+      break;                            // trailing garbage: stop (like serial)
+    }
+    if (hdr[2] != 8 || !(hdr[3] & 4)) return false;  // no FEXTRA: not BGZF
+    const uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
+    if (xlen == 0 || xlen > sizeof(extra)) return false;
+    if (pread(b->fd, extra, xlen, (off_t)(file_off + 12)) != (ssize_t)xlen)
+      return false;
+    uint32_t comp_len = 0;
+    for (uint32_t o = 0; o + 4 <= xlen;) {
+      const uint16_t slen = (uint16_t)(extra[o + 2] | (extra[o + 3] << 8));
+      if (extra[o] == 'B' && extra[o + 1] == 'C' && slen == 2 &&
+          o + 6 <= xlen) {
+        comp_len = (uint32_t)(extra[o + 4] | (extra[o + 5] << 8)) + 1;
+        break;
+      }
+      o += 4 + slen;
+    }
+    if (comp_len < 28 || file_off + comp_len > fsize) return false;
+    if (pread(b->fd, isz, 4, (off_t)(file_off + comp_len - 4)) != 4)
+      return false;
+    const uint32_t infl_len =
+        (uint32_t)(isz[0] | (isz[1] << 8) | (isz[2] << 16)) |
+        ((uint32_t)isz[3] << 24);
+    if (infl_len > (1u << 17)) return false;  // BGZF caps blocks at 64 KiB
+    if (infl_len > 0)
+      b->blocks.push_back(BgzfBlock{file_off, infl_off, comp_len, infl_len});
+    file_off += comp_len;
+    infl_off += infl_len;
+  }
+  b->total_inflated = infl_off;
+  return infl_off > 0;
+}
+
+// Batched scan over the prebuilt block table: each 64 MiB batch inflates
+// its members in parallel (offsets are known so every member writes its
+// own slot), then the BAM header / record headers are walked serially
+// (cheap). `carry` holds the unparsed tail crossing a batch boundary.
+static bool scan_records_batched(OpenBam* b) {
+#ifdef _OPENMP
+  const char* env = std::getenv("NSP_BAM_OPEN_THREADS");
+  int nt = env ? std::atoi(env) : 0;
+  if (nt <= 0) nt = omp_get_num_procs();
+#else
+  const int nt = 1;
+#endif
+  // batch bound override (tests force tiny batches to exercise the
+  // carry / batch-boundary record logic)
+  const char* benv = std::getenv("NSP_BAM_SCAN_BATCH");
+  const uint64_t BATCH_INFL =
+      benv && std::atoll(benv) > 0 ? (uint64_t)std::atoll(benv) : 64ull << 20;
+  std::vector<uint8_t> buf, carry;
+  bool header_done = false;
+  size_t bi = 0;
+  while (bi < b->blocks.size()) {
+    size_t bj = bi;
+    uint64_t span = 0;
+    while (bj < b->blocks.size() &&
+           (bj == bi || span + b->blocks[bj].infl_len <= BATCH_INFL)) {
+      span += b->blocks[bj].infl_len;
+      ++bj;
+    }
+    const uint64_t base = b->blocks[bi].infl_off;
+    const size_t coff = carry.size();
+    buf.resize(coff + span);
+    if (coff) std::memcpy(buf.data(), carry.data(), coff);
+    bool ok = true;
+#pragma omp parallel for num_threads(nt) schedule(dynamic, 8) \
+    reduction(&& : ok)
+    for (size_t i = bi; i < bj; ++i) {
+      ok = ok && inflate_member_pread(
+                     b->fd, b->blocks[i].file_off,
+                     buf.data() + coff + (b->blocks[i].infl_off - base),
+                     b->blocks[i].infl_len);
+    }
+    if (!ok) return false;
+    const uint64_t abs0 = base - coff;  // absolute offset of buf[0]
+    size_t q = 0;
+    if (!header_done) {
+      // header must start at absolute 0; nothing is consumed until the
+      // whole ref list is complete (carry keeps growing across batches)
+      if (abs0 != 0) return false;
+      if (buf.size() >= 12) {
+        if (std::memcmp(buf.data(), "BAM\1", 4) != 0) return false;
+        const int32_t l_text = *(const int32_t*)(buf.data() + 4);
+        if (l_text >= 0 && buf.size() >= 8 + (uint64_t)l_text + 4) {
+          const int32_t n_ref = *(const int32_t*)(buf.data() + 8 + l_text);
+          uint64_t off2 = 12 + (uint64_t)l_text;
+          std::vector<BamRef> refs;
+          bool complete = n_ref >= 0;
+          for (int i = 0; complete && i < n_ref; ++i) {
+            if (buf.size() < off2 + 4) { complete = false; break; }
+            const int32_t l_name = *(const int32_t*)(buf.data() + off2);
+            if (l_name <= 0 || buf.size() < off2 + 8 + (uint64_t)l_name) {
+              complete = false;
+              break;
+            }
+            BamRef br;
+            br.name.assign((const char*)buf.data() + off2 + 4, l_name - 1);
+            br.length = *(const int32_t*)(buf.data() + off2 + 4 + l_name);
+            refs.push_back(std::move(br));
+            off2 += 8 + (uint64_t)l_name;
+          }
+          if (complete) {
+            b->refs = std::move(refs);
+            for (size_t i = 0; i < b->refs.size(); ++i)
+              b->ref_ids[b->refs[i].name] = (int)i;
+            q = off2;
+            header_done = true;
+          }
+        }
+      }
+    }
+    if (header_done) {
+      while (true) {
+        BamRecord r;
+        uint32_t rec_len;
+        if (!parse_record(buf.data() + q, buf.size() - q, &r, &rec_len))
+          break;
+        if (r.ref_id >= 0) {
+          RecordIdx ri{};
+          ri.ref_id = r.ref_id;
+          ri.start = (int32_t)r.pos;
+          ri.end = (int32_t)(r.pos + ref_span_of(r));
+          ri.off = abs0 + q;
+          ri.len = rec_len;
+          b->index.push_back(ri);
+        }
+        q += rec_len;
+      }
+    }
+    carry.assign(buf.begin() + q, buf.end());
+    bi = bj;
+  }
+  return header_done;
+}
+
 int64_t nsp_bam_open(const char* path) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -742,6 +904,54 @@ int64_t nsp_bam_open(const char* path) {
     g_open[h] = b;
     return h;
   }
+
+  // fast path: BGZF header walk + batched parallel inflate. On any
+  // non-BGZF structure, reset and fall through to the serial streaming
+  // pass (which handles arbitrary concatenated gzip members).
+  // NSP_BAM_SERIAL_SCAN=1 forces the fallback (differential testing).
+  const char* force_serial = std::getenv("NSP_BAM_SERIAL_SCAN");
+  const bool use_fast = !(force_serial && force_serial[0] == '1');
+  const char* dbg = std::getenv("NSP_BAM_SCAN_DEBUG");
+  double t_hdr = 0, t_scan = 0;
+  bool fast_ok = false;
+  if (use_fast) {
+    struct timespec a, m, z;
+    clock_gettime(CLOCK_MONOTONIC, &a);
+    const bool tbl = build_block_table_bgzf(b);
+    clock_gettime(CLOCK_MONOTONIC, &m);
+    fast_ok = tbl && scan_records_batched(b);
+    clock_gettime(CLOCK_MONOTONIC, &z);
+    t_hdr = (m.tv_sec - a.tv_sec) + 1e-9 * (m.tv_nsec - a.tv_nsec);
+    t_scan = (z.tv_sec - m.tv_sec) + 1e-9 * (z.tv_nsec - m.tv_nsec);
+    if (dbg && dbg[0] == '1')
+      std::fprintf(stderr, "[nsi] header_walk %.3fs batched_scan %.3fs\n",
+                   t_hdr, t_scan);
+  }
+  if (fast_ok) {
+    std::stable_sort(b->index.begin(), b->index.end(),
+                     [](const RecordIdx& a, const RecordIdx& c) {
+                       return a.ref_id != c.ref_id ? a.ref_id < c.ref_id
+                                                   : a.start < c.start;
+                     });
+    const int n_ref = (int)b->refs.size();
+    b->ref_index_begin.assign(n_ref + 1, b->index.size());
+    for (size_t i = b->index.size(); i-- > 0;)
+      b->ref_index_begin[b->index[i].ref_id] = i;
+    for (int i = n_ref - 1; i >= 0; --i)
+      if (b->ref_index_begin[i] > b->ref_index_begin[i + 1])
+        b->ref_index_begin[i] = b->ref_index_begin[i + 1];
+    build_ref_max_span(b);
+    write_sidecar(b, path);
+    std::lock_guard<std::mutex> lk(g_mu);
+    int64_t h = g_next_handle++;
+    g_open[h] = b;
+    return h;
+  }
+  b->blocks.clear();
+  b->index.clear();
+  b->refs.clear();
+  b->ref_ids.clear();
+  b->total_inflated = 0;
 
   // streaming pass: block table + rolling record-header parse
   std::vector<uint8_t> carry;     // inflated bytes not yet consumed
@@ -822,7 +1032,7 @@ int64_t nsp_bam_open(const char* path) {
         uint32_t rec_len;
         if (!parse_record(ptr(), avail(), &r, &rec_len)) break;
         if (r.ref_id >= 0) {
-          RecordIdx ri;
+          RecordIdx ri{};
           ri.ref_id = r.ref_id;
           ri.start = (int32_t)r.pos;
           ri.end = (int32_t)(r.pos + ref_span_of(r));

@@ -381,6 +381,52 @@ def test_sidecar_index_roundtrip(tmp_path):
         os.environ.pop("NSP_BAM_INDEX", None)
 
 
+def test_parallel_scan_matches_serial(tmp_path):
+    """The r5 parallel cold-open (BGZF header walk + batched parallel
+    inflate) must build a byte-identical index to the serial streaming
+    scan — compared via the .nsi sidecar, whose bytes differ only in the
+    mtime field [12:20) (each open stats its own copy). Tiny batch sizes
+    force records to span batch boundaries (the carry path), including a
+    batch bound smaller than one record."""
+    import os
+    import shutil
+
+    rng = np.random.default_rng(23)
+    seq = "".join(rng.choice(list("ACGT"), size=4000))
+    reads = random_reads(rng, seq, 0, n_reads=600, read_len=180,
+                         with_hp=True)
+    src = tmp_path / "base.bam"
+    write_bam(str(src), [("chrS", 4000)], reads)
+
+    def sidecar_for(env):
+        dst = tmp_path / ("v_" + "_".join(env.values()) + ".bam")
+        shutil.copyfile(str(src), str(dst))
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            with BamFile(str(dst)) as b:
+                p = b.pileup_region(
+                    "chrS", 0, 4000,
+                    np.frombuffer(seq.encode(), dtype=np.uint8))
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        data = open(str(dst) + ".nsi", "rb").read()
+        return data[:12] + data[20:], p   # drop the mtime field
+
+    ref_nsi, ref_pile = sidecar_for({"NSP_BAM_SERIAL_SCAN": "1"})
+    for batch in ("0", "65536", "512", "100"):
+        env = {"NSP_BAM_SERIAL_SCAN": "0"}
+        if batch != "0":
+            env["NSP_BAM_SCAN_BATCH"] = batch
+        got_nsi, got_pile = sidecar_for(env)
+        assert got_nsi == ref_nsi, f"index mismatch at batch={batch}"
+        _assert_same(got_pile, ref_pile)
+
+
 def test_write_tagged_roundtrip(tmp_path):
     """The native BGZF/BAM writer: tagged copy is a valid BAM our own
     engine re-reads; tagged reads carry the assigned HP, others pass
