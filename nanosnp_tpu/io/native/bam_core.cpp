@@ -36,6 +36,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <unordered_map>
@@ -105,7 +106,10 @@ struct OpenBam {
   // BGZF blocks. Insertion-order eviction suits the sequential scans that
   // dominate; keyed by block index, bounded by NSP_BAM_CACHE_MB (default
   // 256, 0 disables). Guarded by io_mu.
-  std::unordered_map<size_t, std::vector<uint8_t>> block_cache;
+  // shared_ptr values: hits copy their bytes OUTSIDE io_mu (the pointer
+  // keeps an evicted block alive until every in-flight fetch drops it)
+  std::unordered_map<size_t, std::shared_ptr<const std::vector<uint8_t>>>
+      block_cache;
   std::deque<size_t> fifo_order;          // oldest at front
   size_t cache_bytes = 0;
 
@@ -381,45 +385,57 @@ bool fetch_inflated(OpenBam* b, uint64_t lo, uint64_t hi,
   }
   buf.resize(total);
   size_t cap = cache_cap_bytes();
-  // pass 1 (locked): copy cache hits into place, collect misses. The
-  // expensive inflate runs OUTSIDE io_mu via pread — s4/s1 chunk threads
-  // used to serialize on the lock for the whole inflate, flattening the
-  // thread fan-out to single-core speed on cold regions.
+  // pass 1 (locked): grab shared_ptrs of cache hits, collect misses.
+  // Lock hold is O(entries) pointer copies — the byte memcpy of hits and
+  // the inflate of misses both run OUTSIDE io_mu (a warm-cache fetch used
+  // to memcpy its whole span, up to 64 MB, under the lock, serializing
+  // concurrent chunk threads on fully cached regions).
   std::vector<size_t> missing;
+  std::vector<std::pair<size_t,
+                        std::shared_ptr<const std::vector<uint8_t>>>> hits;
+  hits.reserve(i1 - i0);
   {
     std::lock_guard<std::mutex> lk(b->io_mu);
     for (size_t i = i0; i < i1; ++i) {
       auto it = b->block_cache.find(i);
-      uint8_t* dst = buf.data() + (b->blocks[i].infl_off - base0);
       if (it != b->block_cache.end())
-        std::memcpy(dst, it->second.data(), it->second.size());
+        hits.emplace_back(i, it->second);
       else
         missing.push_back(i);
     }
   }
-  // pass 2 (unlocked): inflate misses straight into their span slots
+  for (auto& [i, blk] : hits)
+    std::memcpy(buf.data() + (b->blocks[i].infl_off - base0), blk->data(),
+                blk->size());
+  hits.clear();
+  // pass 2 (unlocked): inflate misses straight into their span slots, and
+  // prebuild their cache entries so the publish lock only swaps pointers
+  std::vector<std::pair<size_t,
+                        std::shared_ptr<const std::vector<uint8_t>>>> fresh;
+  if (cap) fresh.reserve(missing.size());
   for (size_t i : missing) {
     uint8_t* dst = buf.data() + (b->blocks[i].infl_off - base0);
     if (!inflate_member_pread(b->fd, b->blocks[i].file_off, dst,
                               b->blocks[i].infl_len))
       return false;
+    if (cap)
+      fresh.emplace_back(i, std::make_shared<const std::vector<uint8_t>>(
+                                dst, dst + b->blocks[i].infl_len));
   }
-  // pass 3 (locked): publish newly inflated blocks to the FIFO cache
-  if (cap && !missing.empty()) {
+  // pass 3 (locked): publish — pointer inserts + FIFO bookkeeping only
+  if (cap && !fresh.empty()) {
     std::lock_guard<std::mutex> lk(b->io_mu);
-    for (size_t i : missing) {
+    for (auto& [i, blk] : fresh) {
       if (b->block_cache.count(i)) continue;   // another thread won
-      const uint8_t* src = buf.data() + (b->blocks[i].infl_off - base0);
-      b->block_cache.emplace(
-          i, std::vector<uint8_t>(src, src + b->blocks[i].infl_len));
+      b->cache_bytes += blk->size();
+      b->block_cache.emplace(i, std::move(blk));
       b->fifo_order.push_back(i);
-      b->cache_bytes += b->blocks[i].infl_len;
       while (b->cache_bytes > cap && !b->fifo_order.empty()) {
         size_t victim = b->fifo_order.front();
         b->fifo_order.pop_front();
         auto vit = b->block_cache.find(victim);
         if (vit != b->block_cache.end()) {
-          b->cache_bytes -= vit->second.size();
+          b->cache_bytes -= vit->second->size();
           b->block_cache.erase(vit);
         }
       }
