@@ -839,6 +839,128 @@ def _run_enc_center_kfused(x_t, wcat_t, b, *, seq_len, hidden, gate_dim,
     )(x_t, wcat_t, b)
 
 
+def _enc2_center_kernel(x_hbm, wcat1_ref, b1_ref, wih2_ref, w2_ref, b2_ref,
+                        out_ref, h_ref, c_ref, hs_ref, xbuf, in_sems, *,
+                        seq_len, hidden, d_pad, block_n):
+    """Both encoder layers fused into ONE program, center-only output
+    (r5, VERDICT r4 #7 — the last device-side lever).
+
+    The two-kernel path streams layer 1's full [L, 2, H, N] output to HBM
+    and layer 2 DMAs it straight back in; per 512-batch block that is an
+    8.6 MB round trip plus 66 DMA issue/wait pairs plus a second kernel
+    launch, all pure overhead. Here layer 1 (K-fused in-projection, same
+    dots as _enc_kfused_body) parks every timestep's hidden state in a
+    VMEM slab (hs_ref [L, 2H, BN] bf16, ~4.3 MB at BN=512) and layer 2's
+    recurrence reads the slab directly — zero inter-layer HBM traffic,
+    zero layer-2 input DMA, one launch. Math is identical to the split
+    path: bf16 inter-layer activations (same cast site), bf16 dots, f32
+    gate/cell math, so decodes are argmax-identical.
+    """
+    i = pl.program_id(0)
+    center = seq_len // 2
+
+    def _time(t, d):
+        return seq_len - 1 - t if d == 1 else t
+
+    def in_copy(t, slot):
+        return [
+            pltpu.make_async_copy(
+                x_hbm.at[_time(t, d), :, pl.ds(i * block_n, block_n)],
+                xbuf.at[slot, d, pl.ds(0, d_pad)], in_sems.at[slot, d])
+            for d in (0, 1)
+        ]
+
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    for cp in in_copy(0, 0):
+        cp.start()
+    # ---- layer 1: K-fused recurrence -> VMEM slab ----
+    for t in range(seq_len):
+        slot = t % 2
+        if t + 1 < seq_len:
+            for cp in in_copy(t + 1, (t + 1) % 2):
+                cp.start()
+        for cp in in_copy(t, slot):
+            cp.wait()
+        for d in (0, 1):
+            xbuf[slot, d, d_pad:, :] = h_ref[d].astype(xbuf.dtype)
+        gates = jnp.stack([
+            jax.lax.dot_general(
+                wcat1_ref[d], xbuf[slot, d],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for d in (0, 1)]) + b1_ref[...]
+        ig = jax.nn.sigmoid(gates[:, :hidden, :])
+        fg = jax.nn.sigmoid(gates[:, hidden: 2 * hidden, :])
+        gg = jnp.tanh(gates[:, 2 * hidden: 3 * hidden, :])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden:, :])
+        c = fg * c_ref[...] + ig * gg
+        h = og * jnp.tanh(c)
+        c_ref[...] = c
+        h_ref[...] = h
+        # dir-major rows ([0:H) fwd, [H:2H) bwd at the TRUE time index) —
+        # the layout the HBM stream path produces via hs.reshape
+        hs_ref[_time(t, 0), :hidden, :] = h[0].astype(hs_ref.dtype)
+        hs_ref[_time(t, 1), hidden:, :] = h[1].astype(hs_ref.dtype)
+
+    # ---- layer 2: two-dot recurrence straight off the slab ----
+    h_ref[...] = jnp.zeros_like(h_ref)
+    c_ref[...] = jnp.zeros_like(c_ref)
+    for t in range(seq_len):
+        gates = jnp.stack([
+            jax.lax.dot_general(
+                wih2_ref[d], hs_ref[_time(t, d)],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                w2_ref[d], h_ref[d].astype(w2_ref.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for d in (0, 1)]) + b2_ref[...]
+        ig = jax.nn.sigmoid(gates[:, :hidden, :])
+        fg = jax.nn.sigmoid(gates[:, hidden: 2 * hidden, :])
+        gg = jnp.tanh(gates[:, 2 * hidden: 3 * hidden, :])
+        og = jax.nn.sigmoid(gates[:, 3 * hidden:, :])
+        c = fg * c_ref[...] + ig * gg
+        h = og * jnp.tanh(c)
+        c_ref[...] = c
+        h_ref[...] = h
+        if t == center:
+            out_ref[...] = h.astype(out_ref.dtype)
+
+
+def _run_enc2_center(x_t, wcat1_t, b1, wih2_t, w2_t, b2, *, seq_len, hidden,
+                     gate_dim, block_n, interpret):
+    """x_t [L, Dp, Npad] -> center hidden [2, H, Npad] f32, both layers in
+    one kernel (see _enc2_center_kernel)."""
+    n_pad = x_t.shape[-1]
+    d_pad = x_t.shape[1]
+    grid = (n_pad // block_n,)
+    return pl.pallas_call(
+        functools.partial(_enc2_center_kernel, seq_len=seq_len,
+                          hidden=hidden, d_pad=d_pad, block_n=block_n),
+        out_shape=jax.ShapeDtypeStruct((2, hidden, n_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if _HAS_PLTPU else None),
+            pl.BlockSpec((2, gate_dim, d_pad + hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, 2 * hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, hidden), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, gate_dim, 1), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, hidden, block_n), lambda i: (0, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),            # h
+            pltpu.VMEM((2, hidden, block_n), jnp.float32),            # c
+            pltpu.VMEM((seq_len, 2 * hidden, block_n), x_t.dtype),    # slab
+            pltpu.VMEM((2, 2, d_pad + hidden, block_n), x_t.dtype),   # in
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] if _HAS_PLTPU else [],
+        interpret=interpret,
+    )(x_t, wcat1_t, b1, wih2_t, w2_t, b2)
+
+
 def _run_enc_stream(x_t, wih_t, w_t, b, *, seq_len, hidden, gate_dim,
                     block_n, interpret, out_dtype):
     """x_t [L, Dp, Npad], wih_t [2, 4H, Dp], w_t [2, 4H, H], b [2, 4H, 1]
@@ -990,6 +1112,50 @@ def bilstm_encoder_pallas(
 
     hs = None
     n_layers = len(layers)
+
+    # two-layer whole-encoder fusion (r5): the pileup geometry — layer 1
+    # K-fusable, layer 2 same hidden width, odd L, center-only decode —
+    # runs both layers in one kernel with the inter-layer activations in
+    # a VMEM slab. NSP_FUSE_LAYERS=0 restores the per-layer kernels.
+    if fused and center_only and n_layers == 2 and seq_len % 2 == 1:
+        import os as _os
+
+        l1, l2 = layers
+        g1 = l1["w_ih"].shape[-1]
+        h1 = g1 // 4
+        g2 = l2["w_ih"].shape[-1]
+        d_in = x_t.shape[1]
+        d1_pad = -(-d_in // 16) * 16
+        eligible = (g2 == g1 and l2["w_ih"].shape[1] == 2 * h1
+                    and d1_pad + h1 <= 128 and h1 % 16 == 0
+                    and (seq_len * 2 * h1 * block_n
+                         * jnp.dtype(compute_dtype).itemsize) <= (8 << 20)
+                    and _os.environ.get("NSP_FUSE_LAYERS", "0") == "1")
+        if eligible:
+            wih1_t = jnp.transpose(l1["w_ih"], (0, 2, 1)).astype(
+                compute_dtype)                               # [2, 4H, D]
+            if d1_pad != d_in:
+                x_t = jnp.pad(x_t, ((0, 0), (0, d1_pad - d_in), (0, 0)))
+                wih1_t = jnp.pad(wih1_t,
+                                 ((0, 0), (0, 0), (0, d1_pad - d_in)))
+            w1_t = jnp.transpose(l1["w_hh"], (0, 2, 1)).astype(
+                compute_dtype)
+            wcat1_t = jnp.concatenate([wih1_t, w1_t], axis=2)
+            b1 = l1["b"].astype(jnp.float32)[:, :, None]
+            wih2_t = jnp.transpose(l2["w_ih"], (0, 2, 1)).astype(
+                compute_dtype)                               # [2, 4H, 2H]
+            w2_t = jnp.transpose(l2["w_hh"], (0, 2, 1)).astype(
+                compute_dtype)
+            b2 = l2["b"].astype(jnp.float32)[:, :, None]
+            ctr = _run_enc2_center(
+                x_t, wcat1_t, b1, wih2_t, w2_t, b2, seq_len=seq_len,
+                hidden=h1, gate_dim=g1, block_n=block_n,
+                interpret=interpret)
+            ctr = jnp.transpose(ctr.reshape(2 * h1, -1), (1, 0))
+            ctr = ctr[:n] if pad else ctr
+            if head is not None:
+                return _apply_head_xla(ctr, head, compute_dtype)
+            return ctr
     for idx, layer in enumerate(layers):
         gate_dim = layer["w_ih"].shape[-1]
         hidden = gate_dim // 4

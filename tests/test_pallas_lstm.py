@@ -171,3 +171,37 @@ def test_pallas_encoder_fused_matches_unfused():
                                     center_only=center_only, fused=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+
+def test_pallas_encoder_two_layer_fusion_gate():
+    """The r5 whole-encoder fusion (both layers in one kernel, VMEM
+    inter-layer slab) must equal the per-layer kernel path exactly, and
+    NSP_FUSE_LAYERS=0 must route back to the split kernels."""
+    import os
+
+    from nanosnp_tpu.ops.pallas_lstm import bilstm_encoder_pallas
+
+    rng = np.random.default_rng(11)
+    layers = init_bilstm_params(jax.random.key(13), 18, 16, 2)
+    x = jnp.asarray(rng.standard_normal((17, 33, 18)), jnp.float32)
+    old = os.environ.get("NSP_FUSE_LAYERS")
+    try:
+        os.environ["NSP_FUSE_LAYERS"] = "0"
+        split = bilstm_encoder_pallas(layers, x, compute_dtype=jnp.float32,
+                                      block_n=8, interpret=True,
+                                      center_only=True)
+        os.environ["NSP_FUSE_LAYERS"] = "1"
+        fused2 = bilstm_encoder_pallas(layers, x, compute_dtype=jnp.float32,
+                                       block_n=8, interpret=True,
+                                       center_only=True)
+    finally:
+        if old is None:
+            os.environ.pop("NSP_FUSE_LAYERS", None)
+        else:
+            os.environ["NSP_FUSE_LAYERS"] = old
+    np.testing.assert_allclose(np.asarray(fused2), np.asarray(split),
+                               atol=2e-5)
+    # scan-path oracle
+    want = bilstm_encoder(layers, x)[:, 33 // 2, :]
+    np.testing.assert_allclose(np.asarray(fused2), np.asarray(want),
+                               atol=2e-5)
