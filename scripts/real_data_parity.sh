@@ -98,6 +98,12 @@ echo "== [2/3] nanosnp_tpu pipeline =="
 #                               proven push against real samtools.
 #   phaser_min_block_sites=2  : matches whatshap's no-singleton-block
 #                               semantics (config default; nothing to pass).
+# Shipped haplotype checkpoint (r5): v6b phase-robust synthetic weights
+# (sha256 prefix f0fa5321… — verify against docs/evidence/defer_ab_v6_r5.json
+# weights_sha256). The deferral gate is OFF here anyway; v6b makes the
+# model itself degrade gracefully at phase-blind sites, so gate-off
+# parity runs no longer depend on masking (defer_ab_v6_r5.json sparse
+# merge_off 0.717 >= pileup 0.690).
 ( cd "$REPO" && python -m nanosnp_tpu.runtime.cli call \
     --bam "$BAM" --ref "$REF" \
     --pileup-model "$NANOSNP_REF/PileupModel/models/ont_pileup.chkpt" \
