@@ -151,7 +151,7 @@ def stage_pileup_features(
         if not os.path.exists(path):
             continue
         seq = ref.contig(ctg)
-        chunks: List[CandidateBatch] = []
+        flusher = _ShardFlusher(ctg, out_dir, flank)
         prev_bound = 0
         for unit_lines, n_carry, final in _iter_mpileup_units(
                 path, overlap, chunk_bytes):
@@ -178,13 +178,97 @@ def stage_pileup_features(
             fsub = predict_batch(sub)
             if len(fsub) == 0:
                 continue
-            chunks.append(fsub)
-        shard = _columnar_shard(ctg, chunks, flank)
-        bins.save_pileup_shard(os.path.join(out_dir, f"{ctg}.npz"), shard)
-        total_cand += len(shard)
+            flusher.add(fsub)
+        total_cand += flusher.finish()
     dt = time.monotonic() - t0
     return {"rows": total_rows, "candidates": total_cand,
             "rows_per_s": round(total_rows / dt, 1) if dt else 0}
+
+
+def _slice_candidates(b: CandidateBatch, lo: int, hi: int) -> CandidateBatch:
+    """Candidate-row slice sharing the full column store (unreferenced
+    columns are harmless — see predict_batch)."""
+    return CandidateBatch(b.chrom, b.positions[lo:hi],
+                          ref_seqs=b.ref_seqs[lo:hi],
+                          alt_info=b.alt_info[lo:hi], depths=b.depths[lo:hi],
+                          columns=b.columns, cand_off=b.cand_off[lo:hi],
+                          flank=b.flank)
+
+
+class _ShardFlusher:
+    """Bounded columnar accumulation for one contig's s1 output (r5).
+
+    The whole-contig shard held every candidate column in RAM at once —
+    the 250 Mbp soak's 24 GB peak was that materialization plus its npz
+    write plus s2's reload. Parts are written every
+    NSP_S1_FLUSH_CANDIDATES candidates (default 500k). Every non-final
+    part is a multiple of 1000 candidates: the bug-compat decode's
+    fallback-alt quirk depends on its 1000-row batch composition
+    (reference predict.py batches each contig file from row 0), so
+    aligned parts keep every batch window identical to whole-contig
+    numbering and the VCF byte-exact. Caps below 1000 (tests) use the
+    cap itself as the quantum — alignment, and therefore bug-compat
+    byte-parity, then needs bug_compat=False.
+    """
+
+    def __init__(self, ctg: str, out_dir: str, flank: int):
+        self.ctg, self.out_dir, self.flank = ctg, out_dir, flank
+        self.cap = int(os.environ.get("NSP_S1_FLUSH_CANDIDATES", "500000"))
+        self.quantum = 1000 if self.cap >= 1000 else max(self.cap, 1)
+        self.chunks: List[CandidateBatch] = []
+        self.pending = 0
+        self.part = 0
+        self.total = 0
+        # stale parts from a previous run (possibly with a different
+        # flush cap) must not survive a rerun
+        for f in os.listdir(out_dir):
+            if f == f"{ctg}.npz" or (f.startswith(f"{ctg}.part")
+                                     and f.endswith(".npz")):
+                os.unlink(os.path.join(out_dir, f))
+
+    def add(self, batch: CandidateBatch) -> None:
+        self.chunks.append(batch)
+        self.pending += len(batch)
+        if self.pending >= self.cap:
+            self._flush(final=False)
+
+    def finish(self) -> int:
+        self._flush(final=True)
+        return self.total
+
+    def _flush(self, final: bool) -> None:
+        n = self.pending if final else (self.pending
+                                        - self.pending % self.quantum)
+        if not final and n == 0:
+            return
+        take: List[CandidateBatch] = []
+        rest: List[CandidateBatch] = []
+        got = 0
+        for b in self.chunks:
+            if got >= n:
+                rest.append(b)
+            elif got + len(b) <= n:
+                take.append(b)
+                got += len(b)
+            else:
+                k = n - got
+                take.append(_slice_candidates(b, 0, k))
+                rest.append(_slice_candidates(b, k, len(b)))
+                got = n
+        shard = _columnar_shard(self.ctg, take, self.flank)
+        if final and self.part == 0:
+            name = f"{self.ctg}.npz"
+        elif len(shard) or not final:
+            name = f"{self.ctg}.part{self.part:04d}.npz"
+        else:                       # empty tail after earlier parts
+            self.chunks = rest
+            self.pending -= n
+            return
+        bins.save_pileup_shard(os.path.join(self.out_dir, name), shard)
+        self.total += len(shard)
+        self.chunks = rest
+        self.pending -= n
+        self.part += 1
 
 
 def _columnar_shard(ctg: str, chunks: List[CandidateBatch],
@@ -252,7 +336,10 @@ def stage_pileup_features_from_bam(
             seq = ref.contig(ctg)
             length = len(seq)
             piles_rows = 0
-            chunks: List[CandidateBatch] = []
+            # O(chunk-group) output (r5): part shards via _ShardFlusher
+            # (parts sort after each other, so s2's filename-ordered
+            # decode keeps ascending positions)
+            flusher = _ShardFlusher(ctg, out_dir, flank)
 
             def one_chunk(s):
                 e = min(s + chunk_size, length)
@@ -279,11 +366,9 @@ def stage_pileup_features_from_bam(
                 for rows, payload in ex.map(one_chunk, starts):
                     piles_rows += rows
                     if payload is not None:
-                        chunks.append(payload)
-            shard = _columnar_shard(ctg, chunks, flank)
-            bins.save_pileup_shard(os.path.join(out_dir, f"{ctg}.npz"), shard)
+                        flusher.add(payload)
+            total_cand += flusher.finish()
             total_rows += piles_rows
-            total_cand += len(shard)
     dt = time.monotonic() - t0
     return {"rows": total_rows, "candidates": total_cand,
             "rows_per_s": round(total_rows / dt, 1) if dt else 0}

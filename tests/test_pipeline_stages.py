@@ -209,6 +209,101 @@ def test_s4_flush_cap_splits_shards_identically(synth_world, tmp_path,
     assert collect("hap_split") == collect("hap_one")
 
 
+def test_s1_flush_cap_splits_shards_identically(synth_world, tmp_path,
+                                                monkeypatch):
+    """NSP_S1_FLUSH_CANDIDATES bounds s1's in-RAM columnar accumulation
+    (the r5 soak's 24 GB peak was one contig's worth of candidate
+    columns materialized at once). A tiny cap must yield part files (on
+    both the BAM and text paths), a rerun must clear stale parts, and
+    the s2 VCF must be byte-identical to the single-shard run's.
+    bug_compat=False here: sub-1000 caps cannot keep the bug-compat
+    decode's 1000-row batch windows aligned (see _ShardFlusher; the
+    production cap is 1000-aligned, covered by the unit test below)."""
+    import jax.numpy as jnp
+
+    from nanosnp_tpu.models.convert import load_pileup_checkpoint
+
+    cfg = PipelineConfig()
+    cfg.inference.batch_size = 512
+    cfg.inference.bug_compat = False
+    ref = FastaReference(synth_world["fasta"])
+    params = jax.tree.map(jnp.asarray, load_pileup_checkpoint(
+        "/root/reference/PileupModel/models/ont_pileup.chkpt"))
+
+    def run(shards_dir, vcf_name):
+        stages.stage_pileup_features_from_bam(
+            cfg, ref, synth_world["bam"], str(tmp_path / shards_dir),
+            ["chrW"], chunk_size=700)
+        stages.stage_pileup_predict(cfg, ref, str(tmp_path / shards_dir),
+                                    str(tmp_path / vcf_name), params=params)
+        return sorted(os.path.basename(p) for p in
+                      bins.list_shards(str(tmp_path / shards_dir)))
+
+    names_one = run("sh_one", "one.vcf")
+    assert names_one == ["chrW.npz"]
+    monkeypatch.setenv("NSP_S1_FLUSH_CANDIDATES", "5")
+    names_split = run("sh_split", "split.vcf")
+    assert len(names_split) > 1
+    assert all(n.startswith("chrW.part") for n in names_split)
+    a = (tmp_path / "one.vcf").read_bytes()
+    assert a == (tmp_path / "split.vcf").read_bytes()
+    # rerun with the cap back off must clear stale parts
+    monkeypatch.delenv("NSP_S1_FLUSH_CANDIDATES")
+    names_again = run("sh_split", "again.vcf")
+    assert names_again == ["chrW.npz"]
+    assert a == (tmp_path / "again.vcf").read_bytes()
+    # text path: same cap, same shard content as its own uncapped run
+    monkeypatch.setenv("NSP_S1_FLUSH_CANDIDATES", "5")
+    stages.stage_pileup_features(cfg, ref, synth_world["mdir"],
+                                 str(tmp_path / "sh_text"), ["chrW"])
+    parts = bins.list_shards(str(tmp_path / "sh_text"))
+    assert len(parts) > 1
+    got = np.concatenate([bins.load_pileup_shard(p).positions
+                          for p in parts])
+    want = bins.load_pileup_shard(str(tmp_path / "sh_one" / "chrW.npz"))
+    np.testing.assert_array_equal(got, want.positions)
+
+
+def test_shard_flusher_batch_alignment(tmp_path, monkeypatch):
+    """Production caps keep every non-final part a multiple of 1000
+    candidates so the bug-compat decode's 1000-row batch windows match
+    whole-contig numbering, regardless of chunk sizes; content
+    concatenates in order with correct per-part column offsets."""
+    from nanosnp_tpu.features.pileup import CandidateBatch
+
+    rng = np.random.default_rng(3)
+
+    def fake_batch(start, n):
+        cols = rng.integers(-5, 5, (n + 33, 18)).astype(np.int16)
+        return CandidateBatch(
+            "chrZ", np.arange(start, start + n, dtype=np.int64),
+            ref_seqs=np.array([b"A" * 33] * n, dtype="S33"),
+            alt_info=[f"d-{i}" for i in range(start, start + n)],
+            depths=np.full(n, 9, np.int32), columns=cols,
+            cand_off=np.arange(n, dtype=np.int64) + 16, flank=16)
+
+    monkeypatch.setenv("NSP_S1_FLUSH_CANDIDATES", "2000")
+    fl = stages._ShardFlusher("chrZ", str(tmp_path), 16)
+    sizes = [700, 900, 1500, 123, 456, 1100, 77]   # crosses caps mid-chunk
+    pos = 1
+    for n in sizes:
+        fl.add(fake_batch(pos, n))
+        pos += n
+    total = fl.finish()
+    assert total == sum(sizes)
+    parts = bins.list_shards(str(tmp_path))
+    assert len(parts) > 1
+    lens = [len(bins.load_pileup_shard(p)) for p in parts]
+    assert all(n % 1000 == 0 for n in lens[:-1])
+    got = np.concatenate([bins.load_pileup_shard(p).positions
+                          for p in parts])
+    np.testing.assert_array_equal(got, np.arange(1, sum(sizes) + 1))
+    # window matrices must survive the mid-chunk split (cand_off remap)
+    for p in parts:
+        s = bins.load_pileup_shard(p)
+        assert s.matrix.shape[1:] == (33, 18)
+
+
 def test_runner_resume(tmp_path):
     calls = []
 
