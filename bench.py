@@ -820,7 +820,7 @@ def main():
     # chromosome-scale evidence measured out-of-band (a full 100 Mbp x 30x
     # pipeline run is minutes — too slow to re-run per bench invocation);
     # see scripts/stage_breakdown.py for the reproduction command
-    ev = os.path.join(REPO, "docs", "evidence", "stage_breakdown_r4.json")
+    ev = os.path.join(REPO, "docs", "evidence", "stage_breakdown_r5.json")
     if os.path.exists(ev):
         try:
             rec = json.load(open(ev))
@@ -834,7 +834,7 @@ def main():
             }
         except Exception:
             pass
-    ev = os.path.join(REPO, "docs", "evidence", "soak_r4.json")
+    ev = os.path.join(REPO, "docs", "evidence", "soak_r5b.json")
     if os.path.exists(ev):
         try:
             rec = json.load(open(ev))
