@@ -75,11 +75,28 @@ class PileupShard:
         return len(self.positions)
 
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _zstd():
+    try:
+        import zstandard
+
+        return zstandard
+    except ImportError:  # pragma: no cover - zstandard ships in the image
+        return None
+
+
 def _savez_fast(path: str, arrays, compresslevel: int = 1) -> None:
-    """np.savez_compressed-compatible writer at deflate level 1: shard
-    writes were zlib-level-6-bound (~140 s for a 20 Mbp contig's haplotype
-    shard); level 1 compresses ~5x faster within ~15% of the size, and
-    np.load reads the result unchanged."""
+    """Shard writer. Default container (r5): a whole-file zstd frame
+    around a STORED .npz — zstd level 3 matches deflate-6 ratios at ~5x
+    the compression speed (and compresses MULTITHREADED), and inflates
+    ~20x faster than zlib, which was the s5 stage's actual bottleneck
+    (one 255k-group consolidated shard cost 31 s of single-threaded
+    zlib inflate per load). `open_npz` sniffs the magic, so historic
+    deflate shards keep loading and the filename stays `.npz`.
+    NSP_SHARD_CODEC=deflate restores the plain np.load-able container
+    (interop with external numpy tooling)."""
     import io as _io
     import zipfile
 
@@ -87,12 +104,45 @@ def _savez_fast(path: str, arrays, compresslevel: int = 1) -> None:
 
     if not path.endswith(".npz"):
         path += ".npz"
+    zstd = _zstd() if os.environ.get("NSP_SHARD_CODEC",
+                                     "zstd") == "zstd" else None
+    if zstd is not None:
+        raw = _io.BytesIO()
+        with zipfile.ZipFile(raw, "w", zipfile.ZIP_STORED) as zf:
+            for name, arr in arrays.items():
+                buf = _io.BytesIO()
+                npformat.write_array(buf, np.asanyarray(arr))
+                zf.writestr(f"{name}.npy", buf.getvalue())
+        comp = zstd.ZstdCompressor(level=3, threads=-1)
+        with open(path, "wb") as f:
+            f.write(comp.compress(raw.getbuffer()))
+        return
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED,
                          compresslevel=compresslevel) as zf:
         for name, arr in arrays.items():
             buf = _io.BytesIO()
             npformat.write_array(buf, np.asanyarray(arr))
             zf.writestr(f"{name}.npy", buf.getvalue())
+
+
+def open_npz(path: str):
+    """np.load for shard files, transparent to the container codec:
+    plain zip npz (historic shards, NSP_SHARD_CODEC=deflate) or the r5
+    zstd-wrapped npz. Every shard consumer must use this instead of
+    np.load."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head != _ZSTD_MAGIC:
+        return np.load(path)
+    import io as _io
+
+    zstd = _zstd()
+    if zstd is None:  # pragma: no cover - zstandard ships in the image
+        raise RuntimeError(f"{path} is zstd-compressed but the zstandard "
+                           "module is unavailable")
+    with open(path, "rb") as f:
+        raw = zstd.ZstdDecompressor().stream_reader(f).read()
+    return np.load(_io.BytesIO(raw))
 
 
 def save_pileup_shard(path: str, shard: PileupShard) -> None:
@@ -114,7 +164,7 @@ def save_pileup_shard(path: str, shard: PileupShard) -> None:
 
 
 def load_pileup_shard(path: str) -> PileupShard:
-    z = np.load(path)
+    z = open_npz(path)
     if "columns" in z.files:
         return PileupShard(
             contig=str(z["contig"]),
@@ -275,13 +325,15 @@ def save_haplotype_shard(path: str, shard: HaplotypeShard) -> None:
         "group_positions": shard.group_positions,
     }
     for k in _KEYS:
-        arrays[f"pileup_{k}"] = shard.pileup[k].astype(_KEY_DTYPE[k])
-        arrays[f"haplotype_{k}"] = shard.haplotype[k].astype(_KEY_DTYPE[k])
+        arrays[f"pileup_{k}"] = shard.pileup[k].astype(_KEY_DTYPE[k],
+                                                       copy=False)
+        arrays[f"haplotype_{k}"] = shard.haplotype[k].astype(_KEY_DTYPE[k],
+                                                             copy=False)
     _savez_fast(path, arrays)
 
 
 def load_haplotype_shard(path: str) -> HaplotypeShard:
-    z = np.load(path)
+    z = open_npz(path)
     return HaplotypeShard(
         contig=str(z["contig"]),
         candidate_positions=z["candidate_positions"],

@@ -960,7 +960,7 @@ def _run_train_pileup(args, cfg) -> int:
 def _run_train_haplotype(args, cfg) -> int:
     import numpy as np
 
-    from ..io.bins import list_shards
+    from ..io.bins import list_shards, open_npz
     from ..train import data as D
     from ..train import labels as L
     from ..train.train_haplotype import train_haplotype
@@ -991,7 +991,8 @@ def _run_train_haplotype(args, cfg) -> int:
 
     # lr-decay schedule hint: total candidate count from shard metadata
     # (loads one small array per shard — NOT the old full counting pass)
-    n_sites = sum(len(np.load(p)["candidate_positions"]) for p in train_paths)
+    n_sites = sum(len(open_npz(p)["candidate_positions"])
+                  for p in train_paths)
     steps_hint = max(n_sites // tcfg.batch_size, 1)
     val_factory = None
     if val_paths:

@@ -1164,7 +1164,7 @@ def stage_haplotype_predict(
     # accumulating the whole genome's CSV rows before one global sort
     # (one tail flush per bucket pair per contig is the padding cost)
     paths = bins.list_shards(shard_dir)
-    contig_of = {p: str(np.load(p)["contig"]) for p in paths}
+    contig_of = {p: str(bins.open_npz(p)["contig"]) for p in paths}
     paths.sort(key=lambda p: (C.contig_sort_key(contig_of[p]), p))
     out_f = open(output_csv, "w")
     cur_contig: List[Optional[str]] = [None]
@@ -1180,8 +1180,25 @@ def stage_haplotype_predict(
         results.clear()
         pools.clear()
 
-    for path in paths:
-        shard = bins.load_haplotype_shard(path)
+    # prefetch depth 1: the npz inflate of a consolidated bucket shard is
+    # seconds of single-threaded zlib (the r5b soak's s5 spent more time
+    # loading than computing); zlib releases the GIL, so loading shard
+    # k+1 overlaps shard k's pad/featurize/drain work. Costs one extra
+    # in-RAM shard (bounded by NSP_S4_FLUSH_GROUPS).
+    from concurrent.futures import ThreadPoolExecutor
+
+    loader = ThreadPoolExecutor(max_workers=1)
+
+    def _shard_iter():
+        fut = (loader.submit(bins.load_haplotype_shard, paths[0])
+               if paths else None)
+        for i in range(len(paths)):
+            cur = fut.result()
+            fut = (loader.submit(bins.load_haplotype_shard, paths[i + 1])
+                   if i + 1 < len(paths) else None)
+            yield cur
+
+    for shard in _shard_iter():
         if len(shard) == 0:
             continue
         if cur_contig[0] is not None and shard.contig != cur_contig[0]:
@@ -1230,9 +1247,13 @@ def stage_haplotype_predict(
         args = []
         for view, db in (("pileup", dp_b), ("haplotype", dh_b)):
             d = getattr(shard, view)
-            pad = ((0, 0), (0, db - d["sequences"].shape[1]), (0, 0))
+            n_pad = db - d["sequences"].shape[1]
+            pad = ((0, 0), (0, n_pad), (0, 0))
             for k in ("sequences", "baseq", "mapq", "hap"):
-                a = np.pad(d[k], pad, constant_values=C.PAD_VALUE)
+                # np.pad copies even at zero width; depth already at the
+                # bucket (the common case for consolidated shards) skips it
+                a = (d[k] if n_pad == 0
+                     else np.pad(d[k], pad, constant_values=C.PAD_VALUE))
                 args.append(a.astype(bins._KEY_DTYPE[k], copy=False))
             if view == "pileup":
                 args.append(ref_window_codes(
@@ -1249,6 +1270,7 @@ def stage_haplotype_predict(
         n_sites += len(shard)
         if len(pool["meta"]) >= model_bs:
             flush(key, final=False)
+    loader.shutdown(wait=True)
     flush_contig()
     out_f.close()
     dt = time.monotonic() - t0

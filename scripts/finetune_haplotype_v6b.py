@@ -146,7 +146,8 @@ def main(out_dir="./hap_v6b", init_ckpt="./hap_v6_train/best.ckpt",
 
     init_params, _ = load_checkpoint(init_ckpt)
     init_params = jax.tree.map(jnp.asarray, init_params)
-    n_sites = sum(len(np.load(p)["candidate_positions"]) for p in train_paths)
+    n_sites = sum(len(bins.open_npz(p)["candidate_positions"])
+                  for p in train_paths)
     val_factory = None
     if val_paths:
         val_factory = lambda: D.haplotype_train_iterator(

@@ -154,7 +154,8 @@ def main(out_dir="./hap_mixed_train", max_steps=4000):
     train_paths, val_paths = D.reshard_train_val(
         paths, os.path.join(out_dir, "split"), tcfg.val_fraction,
         np.random.default_rng(7))
-    n_sites = sum(len(np.load(p)["candidate_positions"]) for p in train_paths)
+    n_sites = sum(len(bins.open_npz(p)["candidate_positions"])
+                  for p in train_paths)
     print(f"[train] {len(train_paths)} train shards / {n_sites} sites, "
           f"{len(val_paths)} val shards", flush=True)
     val_factory = (lambda: D.haplotype_train_iterator(

@@ -155,7 +155,8 @@ def main(out_dir="./hap_v6_train", max_steps=8000):
     print(f"[train] {len(train_paths)} train shards, {len(val_paths)} val",
           flush=True)
 
-    n_sites = sum(len(np.load(p)["candidate_positions"]) for p in train_paths)
+    n_sites = sum(len(bins.open_npz(p)["candidate_positions"])
+                  for p in train_paths)
     val_factory = None
     if val_paths:
         val_factory = lambda: D.haplotype_train_iterator(

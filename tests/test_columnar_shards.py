@@ -121,3 +121,36 @@ def test_run_pileup_columnar_matches_dense_predictor(world):
     assert gt_c.shape == gt_d.shape and zy_c.shape == zy_d.shape
     np.testing.assert_allclose(gt_c, gt_d, atol=2e-6)
     np.testing.assert_allclose(zy_c, zy_d, atol=2e-6)
+
+
+def test_shard_codec_zstd_roundtrip_and_fallback(tmp_path, monkeypatch):
+    """r5 shard container: zstd-wrapped stored-npz by default (sniffed by
+    magic, ~20x faster inflate than deflate), NSP_SHARD_CODEC=deflate
+    restores a plain np.load-able zip; both roundtrip identically and
+    load through the same open_npz."""
+    import numpy as np
+
+    from nanosnp_tpu.io import bins
+
+    rng = np.random.default_rng(5)
+    shard = bins.PileupShard(
+        "chrC", positions=np.arange(50, dtype=np.int64) + 100,
+        ref_seqs=np.array([b"A" * 33] * 50, dtype="S33"),
+        alt_info=np.array([b"9-X"] * 50, dtype="S"),
+        columns=rng.integers(-9, 9, (120, 18)).astype(np.int16),
+        cand_off=np.arange(50, dtype=np.int64) + 20, flank=16)
+    pz = tmp_path / "z.npz"
+    bins.save_pileup_shard(str(pz), shard)
+    assert open(pz, "rb").read(4) == bins._ZSTD_MAGIC
+    back = bins.load_pileup_shard(str(pz))
+    np.testing.assert_array_equal(back.columns, shard.columns)
+    np.testing.assert_array_equal(back.positions, shard.positions)
+
+    monkeypatch.setenv("NSP_SHARD_CODEC", "deflate")
+    pd_ = tmp_path / "d.npz"
+    bins.save_pileup_shard(str(pd_), shard)
+    assert open(pd_, "rb").read(2) == b"PK"
+    legacy = np.load(str(pd_))               # plain numpy can read it
+    np.testing.assert_array_equal(legacy["columns"], shard.columns)
+    back2 = bins.load_pileup_shard(str(pd_))  # and open_npz handles both
+    np.testing.assert_array_equal(back2.positions, shard.positions)
